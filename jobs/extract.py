@@ -1,0 +1,67 @@
+"""spark-submit entrypoint for the extraction pipeline.
+
+Usage (cluster or local):
+
+    zip -r engine.zip pdftableextractor_spark
+    spark-submit --py-files engine.zip jobs/extract.py \
+        --input  /path/to/documents_parquet \
+        --output /path/to/spans_out \
+        [--gen-docs N]      # instead of --input: generate the deterministic
+                            # synthetic corpus with N docs first
+        [--master local[8]]
+
+The job reads documents(doc_id, spans), runs the extraction pipeline, writes
+the ordered span sequence partitioned for downstream consumption, and prints
+a one-line JSON summary (docs, spans_out, wall seconds, docs/sec).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", default=None)
+    p.add_argument("--output", required=True)
+    p.add_argument("--gen-docs", type=int, default=None)
+    p.add_argument("--master", default=None)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+
+    from pdftableextractor_spark.corpus import write_corpus_parquet
+    from pdftableextractor_spark.operators.extract import extract_spans
+    from pdftableextractor_spark.session import build_session
+
+    spark = build_session(app_name="extract-job", master=args.master)
+
+    inp = args.input
+    if args.gen_docs:
+        inp = args.output.rstrip("/") + ".__input__.parquet"
+        write_corpus_parquet(inp, args.gen_docs, seed=args.seed)
+
+    t0 = time.time()
+    docs = spark.read.parquet(inp)
+    out = extract_spans(docs)
+    out.write.mode("overwrite").parquet(args.output)
+    wall = time.time() - t0
+
+    n_docs = spark.read.parquet(inp).count()
+    n_spans = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "docs": n_docs,
+                "spans_out": n_spans,
+                "sec": round(wall, 3),
+                "docs_per_sec": round(n_docs / wall, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

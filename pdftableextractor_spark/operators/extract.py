@@ -1,0 +1,229 @@
+"""The flagship extraction pipeline: interleaved documents → ordered spans.
+
+Pipeline (one job, ONE shuffle):
+
+    documents(doc_id, spans)
+      → posexplode(spans)                       [narrow]
+      → per-kind branches                       [narrow, all JVM-side except
+                                                 the pdf layout kernel]
+          text   : normalize → drop boiler/footnote/empty
+          boiler : dropped
+          media  : pass through untouched
+          table  : serialized grid → dense row-major cells (pure SQL
+                   higher-order functions; textract_processor.py:252-301
+                   semantics: max-extent + '' fill)
+          kv     : 'key\\x1fvalue' → 'key: value', empty keys dropped
+                   (textract_processor.py:319-344)
+          pdf    : mapInPandas layout kernel → raw text lines + table cells,
+                   then text lines rejoin the shared normalize/filter path
+      → unionByName                             [narrow]
+      → row_number() over (doc_id ORDER BY offset, sub_idx) - 1 AS order
+                                                [THE shuffle: hash by doc_id]
+
+Scale notes (100 TB design):
+- All heavy per-span work happens *before* the shuffle at span/page
+  granularity, so a 500-page document is 500 parallel units, not one task —
+  the skew case is solved structurally, not just by AQE (which stays on as a
+  backstop for the final window's skewed doc groups).
+- Every branch filter/projection is expressed declaratively → Catalyst pushes
+  `spans IS NOT NULL`-style predicates into the scan and prunes to the two
+  read columns.
+- The only Python in the plan is the Arrow-batched pdf layout kernel; the
+  text/table/kv branches are whole-stage-codegen expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdftableextractor_spark.functions.strings import (
+    is_boilerplate_col,
+    is_footnote_col,
+    normalize_text_col,
+)
+from pdftableextractor_spark.kernels.layout import (
+    KERNEL_OUT_SCHEMA,
+    pdf_layout_kernel,
+)
+from pdftableextractor_spark.types import US
+
+CELL_TAG_RE = r"^r(\d+)c(\d+):"
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) → one row per span."""
+    return documents.select(
+        "doc_id", F.explode("spans").alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.offset").alias("offset"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
+
+
+def _text_branch(spans: DataFrame) -> DataFrame:
+    """Shared normalize/filter path for content lines (kind='text' spans and
+    raw lines emitted by the pdf layout kernel)."""
+    return (
+        spans.filter(~is_boilerplate_col(F.col("text")))
+        .filter(~is_footnote_col(F.col("text")))
+        .withColumn("text", normalize_text_col(F.col("text")))
+        .filter(F.col("text") != "")
+        .select(
+            "doc_id",
+            "offset",
+            "sub_idx",
+            F.lit("text").alias("kind"),
+            "text",
+            F.lit("").alias("media_ref"),
+        )
+    )
+
+
+def _table_branch(spans: DataFrame) -> DataFrame:
+    """Serialized 'r{r}c{c}:text' grids → dense row-major cells.
+
+    Pure higher-order SQL functions, span-local (no shuffle): parse cells,
+    take the max row/col extent, build a (r:c → text) map, then emit the
+    dense grid with '' fill — the same dense-fill semantics as the
+    reference's grid reconstruction (textract_processor.py:271-297)."""
+    cells = F.filter(
+        F.transform(
+            F.split(F.col("text"), US),
+            lambda t: F.struct(
+                F.regexp_extract(t, CELL_TAG_RE, 1).try_cast("int").alias("r"),
+                F.regexp_extract(t, CELL_TAG_RE, 2).try_cast("int").alias("c"),
+                F.regexp_replace(t, CELL_TAG_RE, "").alias("txt"),
+            ),
+        ),
+        lambda x: x["r"].isNotNull() & x["c"].isNotNull(),
+    )
+    parsed = spans.select(
+        "doc_id", "offset", cells.alias("cells")
+    ).filter(F.size("cells") > 0)
+    grid = parsed.select(
+        "doc_id",
+        "offset",
+        F.array_max(F.transform("cells", lambda x: x["r"])).alias("max_r"),
+        F.array_max(F.transform("cells", lambda x: x["c"])).alias("max_c"),
+        F.map_from_entries(
+            F.transform(
+                "cells",
+                lambda x: F.struct(
+                    F.concat_ws(":", x["r"], x["c"]).alias("k"),
+                    x["txt"].alias("v"),
+                ),
+            )
+        ).alias("m"),
+    )
+    dense = grid.select(
+        "doc_id",
+        "offset",
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.col("max_r")),
+                lambda r: F.transform(
+                    F.sequence(F.lit(0), F.col("max_c")),
+                    lambda c: F.coalesce(
+                        F.try_element_at(
+                            F.col("m"), F.concat_ws(":", r, c)
+                        ),
+                        F.lit(""),
+                    ),
+                ),
+            )
+        ).alias("grid"),
+    )
+    return dense.select(
+        "doc_id",
+        "offset",
+        F.posexplode("grid").alias("sub_idx", "cell"),
+    ).select(
+        "doc_id",
+        "offset",
+        F.col("sub_idx").cast("int").alias("sub_idx"),
+        F.lit("table_cell").alias("kind"),
+        F.trim(F.regexp_replace(F.col("cell"), r"\s+", " ")).alias("text"),
+        F.lit("").alias("media_ref"),
+    )
+
+
+def _kv_branch(spans: DataFrame) -> DataFrame:
+    parts = F.split(F.col("text"), US, 2)
+    return (
+        spans.select(
+            "doc_id",
+            "offset",
+            F.trim(F.get(parts, 0)).alias("k"),
+            F.trim(F.coalesce(F.get(parts, 1), F.lit(""))).alias("v"),
+        )
+        .filter(F.col("k") != "")
+        .select(
+            "doc_id",
+            "offset",
+            F.lit(0).cast("int").alias("sub_idx"),
+            F.lit("kv").alias("kind"),
+            F.concat_ws(": ", F.col("k"), F.col("v")).alias("text"),
+            F.lit("").alias("media_ref"),
+        )
+    )
+
+
+def _pdf_branch(spans: DataFrame) -> DataFrame:
+    expanded = spans.select("doc_id", "offset", "text").mapInPandas(
+        pdf_layout_kernel, schema=KERNEL_OUT_SCHEMA
+    )
+    text_lines = _text_branch(
+        expanded.filter(F.col("kind") == "text")
+    )
+    cells = expanded.filter(F.col("kind") == "table_cell").select(
+        "doc_id",
+        "offset",
+        "sub_idx",
+        "kind",
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("text"),
+        "media_ref",
+    )
+    return text_lines.unionByName(cells)
+
+
+def extract_spans(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) → spans_out(doc_id, order, kind, text,
+    media_ref), the driver-checked span sequence (FIXTURES.md §2)."""
+    s = explode_spans(documents)
+    zero = F.lit(0).cast("int").alias("sub_idx")
+
+    text = _text_branch(
+        s.filter(F.col("kind") == "text").select(
+            "doc_id", "offset", zero, "text"
+        )
+    )
+    media = s.filter(F.col("kind") == "media").select(
+        "doc_id",
+        "offset",
+        zero,
+        F.lit("media").alias("kind"),
+        F.lit("").alias("text"),
+        "media_ref",
+    )
+    table = _table_branch(s.filter(F.col("kind") == "table"))
+    kv = _kv_branch(s.filter(F.col("kind") == "kv"))
+    pdf = _pdf_branch(s.filter(F.col("kind") == "pdf"))
+
+    unioned = (
+        text.unionByName(media)
+        .unionByName(table)
+        .unionByName(kv)
+        .unionByName(pdf)
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset", "sub_idx")
+    return unioned.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("int").alias("order"),
+        "kind",
+        "text",
+        "media_ref",
+    )

@@ -1,0 +1,213 @@
+"""Independent pure-Python reference implementation ("the oracle").
+
+Used ONLY by tests to compute/freeze golden span sequences — never imported
+by the engine. Deliberately written row-at-a-time with the stdlib ``re``
+module so a bug in the Spark expression library and a bug here would have to
+coincide to slip through.
+
+Semantics must match pdftableextractor_spark.functions.strings and
+kernels.layout exactly; the layout constants are restated here on purpose
+(they are part of the frozen contract, FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+import re
+
+US, RS = "\x1f", "\x1e"
+LINE_EPS, GAP_MIN, COL_MERGE_EPS, MIN_TABLE_ROWS = 0.01, 0.05, 0.02, 2
+
+_FOOT_MARK = re.compile(
+    r"^(?:\(\d+\)|\[\d+\]|\d+\.|\*+\s|note\s*\d*:|source:|see\s)", re.I
+)
+_KEYWORDS = (
+    "note", "source", "see", "reference", "pursuant", "accordance",
+    "disclaimer", "based on", "refers to", "includes", "excludes",
+)
+_SECTION = re.compile(r"\b(?:page|section|chapter|exhibit|appendix)\s+\d+")
+
+
+def normalize(text: str) -> str:
+    t = re.sub(r"[⁰¹²³⁴⁵⁶⁷⁸⁹]+", "", text)
+    t = re.sub(r"\(\d+\)", "", t)
+    t = re.sub(r"\[\d+\]", "", t)
+    t = re.sub(r"\*+", "", t)
+    t = " ".join(t.split())
+    return "" if re.fullmatch(r"\d+", t) else t
+
+
+def is_footnote(line: str) -> bool:
+    s = line.strip()
+    m = _FOOT_MARK.match(s)
+    if not m:
+        return False
+    if len(s) <= len(m.group()) + 5:
+        return False
+    low = s.lower()
+    return any(k in low for k in _KEYWORDS) or bool(_SECTION.search(low))
+
+
+def is_boiler(line: str) -> bool:
+    s = line.strip()
+    if s.count("|") >= 2 or s.startswith("©"):
+        return True
+    return s.lower() in (
+        "home", "about", "contact", "privacy policy",
+        "terms of service", "skip to content",
+    )
+
+
+def _table_cells(payload: str) -> list[str]:
+    tag = re.compile(r"^r(\d+)c(\d+):")
+    parsed = {}
+    max_r = max_c = -1
+    for tok in payload.split(US):
+        m = tag.match(tok)
+        if not m:
+            continue
+        r, c = int(m.group(1)), int(m.group(2))
+        parsed[(r, c)] = tok[m.end():]
+        max_r, max_c = max(max_r, r), max(max_c, c)
+    if max_r < 0:
+        return []
+    out = []
+    for r in range(max_r + 1):
+        for c in range(max_c + 1):
+            out.append(" ".join(parsed.get((r, c), "").split()))
+    return out
+
+
+def _pdf_lines(payload: str) -> list[tuple[str, str]]:
+    words = []
+    for rec in payload.split(RS) if payload else []:
+        p = rec.split(US)
+        if len(p) == 5:
+            words.append((p[0], float(p[1]), float(p[2]), float(p[3])))
+    if not words:
+        return []
+    words = sorted(
+        enumerate(words), key=lambda iw: (iw[1][1], iw[1][2], iw[0])
+    )
+    lines, anchor = [], None
+    for _, (w, top, left, width) in words:
+        if anchor is not None and top - anchor <= LINE_EPS:
+            lines[-1].append((w, left, width))
+        else:
+            lines.append([(w, left, width)])
+            anchor = top
+    lines = [sorted(ln, key=lambda x: x[1]) for ln in lines]
+
+    seg_lines = []
+    for ln in lines:
+        segs, cur, start, end = [], [], None, None
+        for w, left, width in ln:
+            if end is not None and left - end >= GAP_MIN:
+                segs.append((" ".join(cur), start, end))
+                cur, start = [], None
+            if start is None:
+                start = left
+            cur.append(w)
+            end = left + width
+        if cur:
+            segs.append((" ".join(cur), start, end))
+        seg_lines.append(segs)
+
+    out, i, n = [], 0, len(seg_lines)
+    while i < n:
+        if len(seg_lines[i]) >= 2:
+            j = i
+            while j < n and len(seg_lines[j]) >= 2:
+                j += 1
+            if j - i >= MIN_TABLE_ROWS:
+                region = seg_lines[i:j]
+                ivals = sorted((s[1], s[2]) for segs in region for s in segs)
+                cols = []
+                for st, en in ivals:
+                    if cols and st <= cols[-1][1] + COL_MERGE_EPS:
+                        cols[-1][1] = max(cols[-1][1], en)
+                    else:
+                        cols.append([st, en])
+                for segs in region:
+                    cells = [""] * len(cols)
+                    for text, st, en in segs:
+                        ctr = (st + en) / 2
+                        cj = None
+                        for k, (cs, ce) in enumerate(cols):
+                            if cs - COL_MERGE_EPS <= ctr <= ce + COL_MERGE_EPS:
+                                cj = k
+                                break
+                        if cj is None:
+                            cj = min(
+                                range(len(cols)),
+                                key=lambda k: min(
+                                    abs(ctr - cols[k][0]), abs(ctr - cols[k][1])
+                                ),
+                            )
+                        cells[cj] = (cells[cj] + " " + text).strip()
+                    out.extend(("table_cell", c) for c in cells)
+                i = j
+                continue
+            for k in range(i, j):
+                out.append(("text", " ".join(s[0] for s in seg_lines[k])))
+            i = j
+        else:
+            out.append(("text", " ".join(s[0] for s in seg_lines[i])))
+            i += 1
+    return out
+
+
+def extract_document(doc: dict) -> list[dict]:
+    """One document dict → expected ordered span rows (FIXTURES.md §2)."""
+    emitted = []  # (offset, sub_idx, kind, text, media_ref)
+    for span in sorted(doc["spans"], key=lambda s: s["offset"]):
+        kind, text, media, off = (
+            span["kind"], span["text"], span["media_ref"], span["offset"],
+        )
+        if kind == "text":
+            if is_boiler(text) or is_footnote(text):
+                continue
+            norm = normalize(text)
+            if norm:
+                emitted.append((off, 0, "text", norm, ""))
+        elif kind == "media":
+            emitted.append((off, 0, "media", "", media))
+        elif kind == "table":
+            for sub, cell in enumerate(_table_cells(text)):
+                emitted.append((off, sub, "table_cell", cell, ""))
+        elif kind == "kv":
+            parts = text.split(US, 1)
+            k = parts[0].strip()
+            v = parts[1].strip() if len(parts) > 1 else ""
+            if k:
+                emitted.append((off, 0, "kv", f"{k}: {v}", ""))
+        elif kind == "pdf":
+            for sub, (k2, t2) in enumerate(_pdf_lines(text)):
+                if k2 == "text":
+                    if is_boiler(t2) or is_footnote(t2):
+                        continue
+                    t2 = normalize(t2)
+                    if not t2:
+                        continue
+                    emitted.append((off, sub, "text", t2, ""))
+                else:
+                    emitted.append(
+                        (off, sub, "table_cell", " ".join(t2.split()), "")
+                    )
+    emitted.sort(key=lambda e: (e[0], e[1]))
+    return [
+        {
+            "doc_id": doc["doc_id"],
+            "order": i,
+            "kind": k,
+            "text": t,
+            "media_ref": m,
+        }
+        for i, (_, _, k, t, m) in enumerate(emitted)
+    ]
+
+
+def extract_corpus(docs: list[dict]) -> list[dict]:
+    rows = []
+    for d in docs:
+        rows.extend(extract_document(d))
+    return rows

@@ -1,0 +1,86 @@
+"""End-to-end golden test: the Spark pipeline's span sequence must equal the
+independent oracle's, row for row, on the deterministic synthetic corpus —
+the driver's span-sequence-equality invariant (kind, text, media_ref, order)
+per doc_id (BASELINE.json:input_hint)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdftableextractor_spark import corpus, oracle
+from pdftableextractor_spark.operators.extract import extract_spans
+
+N_DOCS = 60  # includes doc index 7 (heavy-tailed, ~2500 spans)
+
+
+@pytest.fixture(scope="module")
+def corpus_docs():
+    return corpus.gen_documents(N_DOCS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def documents_df(spark, corpus_docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("corpus") / "documents.parquet")
+    corpus.write_corpus_parquet(path, N_DOCS, seed=42)
+    return spark.read.parquet(path)
+
+
+def _collect_sorted(df):
+    return [
+        (r["doc_id"], r["order"], r["kind"], r["text"], r["media_ref"])
+        for r in df.orderBy("doc_id", "order").collect()
+    ]
+
+
+def test_span_sequence_equality(spark, corpus_docs, documents_df):
+    got = _collect_sorted(extract_spans(documents_df))
+    exp = [
+        (r["doc_id"], r["order"], r["kind"], r["text"], r["media_ref"])
+        for r in oracle.extract_corpus(corpus_docs)
+    ]
+    exp.sort(key=lambda r: (r[0], r[1]))
+    assert len(got) == len(exp)
+    # first mismatch (if any) reported precisely
+    for g, e in zip(got, exp):
+        assert g == e, f"mismatch: got={g!r} expected={e!r}"
+
+
+def test_order_contiguous_per_doc(spark, documents_df):
+    from pyspark.sql import functions as F
+
+    out = extract_spans(documents_df)
+    bad = (
+        out.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("order").alias("mx"),
+            F.min("order").alias("mn"),
+            F.count_distinct("order").alias("nd"),
+        )
+        .filter(
+            (F.col("mn") != 0)
+            | (F.col("mx") != F.col("n") - 1)
+            | (F.col("nd") != F.col("n"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_partitioning_invariance(spark, documents_df):
+    """Output must not depend on physical partitioning (SURVEY.md §5.4)."""
+    a = _collect_sorted(extract_spans(documents_df.repartition(1)))
+    b = _collect_sorted(extract_spans(documents_df.repartition(16)))
+    assert a == b
+
+
+def test_media_passthrough(spark, corpus_docs, documents_df):
+    got = extract_spans(documents_df).filter("kind = 'media'")
+    exp_media = [
+        (d["doc_id"], s["media_ref"])
+        for d in corpus_docs
+        for s in d["spans"]
+        if s["kind"] == "media"
+    ]
+    got_media = [(r["doc_id"], r["media_ref"]) for r in got.collect()]
+    assert sorted(got_media) == sorted(exp_media)
