@@ -122,6 +122,7 @@ def _table_branch(spans: DataFrame) -> DataFrame:
     dense = grid.select(
         "doc_id",
         "offset",
+        "max_c",
         F.flatten(
             F.transform(
                 F.sequence(F.lit(0), F.col("max_r")),
@@ -140,11 +141,16 @@ def _table_branch(spans: DataFrame) -> DataFrame:
     return dense.select(
         "doc_id",
         "offset",
+        "max_c",
         F.posexplode("grid").alias("sub_idx", "cell"),
     ).select(
         "doc_id",
         "offset",
         F.col("sub_idx").cast("int").alias("sub_idx"),
+        F.floor(F.col("sub_idx") / (F.col("max_c") + 1))
+        .cast("int")
+        .alias("row_idx"),
+        (F.col("sub_idx") % (F.col("max_c") + 1)).cast("int").alias("col_idx"),
         F.lit("table_cell").alias("kind"),
         F.trim(F.regexp_replace(F.col("cell"), r"\s+", " ")).alias("text"),
         F.lit("").alias("media_ref"),
@@ -209,7 +215,9 @@ def extract_spans(documents: DataFrame) -> DataFrame:
         F.lit("").alias("text"),
         "media_ref",
     )
-    table = _table_branch(s.filter(F.col("kind") == "table"))
+    table = _table_branch(s.filter(F.col("kind") == "table")).drop(
+        "row_idx", "col_idx"
+    )
     kv = _kv_branch(s.filter(F.col("kind") == "kv"))
     pdf = _pdf_branch(s.filter(F.col("kind") == "pdf"))
 
@@ -227,3 +235,41 @@ def extract_spans(documents: DataFrame) -> DataFrame:
         "text",
         "media_ref",
     )
+
+
+def extract_frames(documents: DataFrame) -> dict[str, DataFrame]:
+    """Structuring-stage inputs: the extraction's intermediate frames.
+
+    Returns
+      lines: (doc_id, line_no, text)   — normalized content lines in reading
+             order (kind='text' spans + pdf-derived lines), numbered per doc
+             (W1, textract_processor.py:117 analog)
+      cells: (doc_id, offset, row_idx, col_idx, text) — dense table grids
+             from kind='table' spans (pdf-derived cells are flat-only and
+             excluded here; they still appear in ``extract_spans`` output)
+      kvs:   (doc_id, offset, text='key: value')
+    """
+    s = explode_spans(documents)
+    zero = F.lit(0).cast("int").alias("sub_idx")
+    text = _text_branch(
+        s.filter(F.col("kind") == "text").select("doc_id", "offset", zero, "text")
+    )
+    pdf_text = _pdf_branch(s.filter(F.col("kind") == "pdf")).filter(
+        F.col("kind") == "text"
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset", "sub_idx")
+    lines = (
+        text.unionByName(pdf_text)
+        .select(
+            "doc_id",
+            (F.row_number().over(w) - 1).cast("int").alias("line_no"),
+            "text",
+        )
+    )
+    cells = _table_branch(s.filter(F.col("kind") == "table")).select(
+        "doc_id", "offset", "row_idx", "col_idx", "text"
+    )
+    kvs = _kv_branch(s.filter(F.col("kind") == "kv")).select(
+        "doc_id", "offset", "text"
+    )
+    return {"lines": lines, "cells": cells, "kvs": kvs}

@@ -1,0 +1,406 @@
+"""Structuring stage: extracted spans → uniform data-point rows + commentary.
+
+Deterministic re-expression of the reference's LLM-assisted structuring
+(SURVEY.md §2.4/§2.9): every LLM call becomes a frozen rule, every sequential
+Python loop becomes either a window expression or a per-document Arrow kernel.
+
+Operators:
+
+- ``table_points``      X2: header-row inference + cell pairing → rows
+                        (structured_llm_processor.py:74-122 made deterministic)
+- ``kv_points``         X3: key-value normalization → rows
+                        (structured_llm_processor.py:124-169)
+- ``text_fact_points``  X4: regex fact extraction ($, %, dates) from text
+                        (structured_llm_processor.py:171-245 /
+                         static/visualization.js:352)
+- ``all_data_points``   U1: union of the three sources, in reference order
+                        (tables, then kv, then text facts — app.py:256-332)
+- ``dedup_first_wins``  A6: order-sensitive dedup by (field, value)
+                        (structured_llm_processor.py:481-488)
+- ``chunk_lines``       A7: sentence-aware chunk ids over ordered lines
+                        (structured_llm_processor.py:50-72) — per-doc kernel
+- ``lexical_commentary``J5: the lexical theta-join scorer, fully JVM-side
+                        (app.py:81-156; scores 10/7/2, threshold ≥7,
+                         context −1/+3, sentence-aware truncation)
+- ``unmatched_paragraphs`` J7+A8: gaps-and-islands sessionization of lines
+                        not consumed by commentary (app.py:178-238)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdftableextractor_spark.functions.strings import (
+    NUMERIC_FRAGMENT_RE,
+    match_clean_col,
+)
+
+# ---------------------------------------------------------------------------
+# X2 — table structuring: header inference + cell pairing
+# ---------------------------------------------------------------------------
+
+
+def table_points(cells: DataFrame) -> DataFrame:
+    """table_cell spans → data-point rows.
+
+    Input: (doc_id, offset, row_idx, col_idx, text) cell rows.
+    Rule (frozen): row 0 is the header row; for every data row r>0 the field
+    is '<row label>_<column header>' (row label = column-0 cell, '_' for
+    spaces) and the value is the cell text; empty values are dropped —
+    the deterministic analog of the reference's per-table LLM structuring
+    (structured_llm_processor.py:74-122) with P3's empty/error filtering.
+    """
+    hdr = cells.filter(F.col("row_idx") == 0).select(
+        F.col("doc_id").alias("h_doc"),
+        F.col("offset").alias("h_off"),
+        F.col("col_idx").alias("h_col"),
+        F.col("text").alias("header"),
+    )
+    lbl = cells.filter((F.col("col_idx") == 0) & (F.col("row_idx") > 0)).select(
+        F.col("doc_id").alias("l_doc"),
+        F.col("offset").alias("l_off"),
+        F.col("row_idx").alias("l_row"),
+        F.col("text").alias("label"),
+    )
+    data = cells.filter((F.col("row_idx") > 0) & (F.col("col_idx") > 0))
+    return (
+        data.join(
+            hdr,
+            (data["doc_id"] == hdr["h_doc"])
+            & (data["offset"] == hdr["h_off"])
+            & (data["col_idx"] == hdr["h_col"]),
+        )
+        .join(
+            lbl,
+            (data["doc_id"] == lbl["l_doc"])
+            & (data["offset"] == lbl["l_off"])
+            & (data["row_idx"] == lbl["l_row"]),
+        )
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            "offset",
+            (F.col("row_idx") * 1000 + F.col("col_idx")).cast("int").alias("seq"),
+            F.lit("table").alias("source"),
+            F.concat_ws(
+                "_",
+                F.regexp_replace(F.col("label"), r"\s+", "_"),
+                F.regexp_replace(F.col("header"), r"\s+", "_"),
+            ).alias("field"),
+            F.col("text").alias("value"),
+        )
+    )
+
+
+def kv_points(kv: DataFrame) -> DataFrame:
+    """kv spans (doc_id, offset, text='key: value') → data-point rows with
+    empty values dropped (P3 at app.py:284)."""
+    parts = F.split(F.col("text"), ": ", 2)
+    return (
+        kv.select(
+            "doc_id",
+            "offset",
+            F.lit(0).cast("int").alias("seq"),
+            F.lit("key_value").alias("source"),
+            F.trim(F.get(parts, 0)).alias("field"),
+            F.trim(F.coalesce(F.get(parts, 1), F.lit(""))).alias("value"),
+        )
+        .filter((F.col("field") != "") & (F.col("value") != ""))
+        .filter(F.lower(F.col("field")) != "error")
+    )
+
+
+# fact patterns: currency, percentage, ISO-ish dates (visualization.js:352)
+FACT_PATTERNS = {
+    "currency_amount": r"\$[\d,]+(?:\.\d+)?(?:\s*(?:million|billion))?",
+    "percentage": r"\d+(?:\.\d+)?%",
+    "date": r"\b\d{4}-\d{2}-\d{2}\b",
+}
+
+
+def text_fact_points(lines: DataFrame) -> DataFrame:
+    """text spans (doc_id, offset, text) → one row per extracted fact.
+
+    Deterministic analog of the chunk-tabulation LLM call (X4): regex
+    extraction of currency/percent/date facts, exploded per match.
+    """
+    out = None
+    for name, pat in FACT_PATTERNS.items():
+        part = (
+            lines.select(
+                "doc_id",
+                "offset",
+                F.posexplode(
+                    F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+                ).alias("seq", "value"),
+            )
+            .select(
+                "doc_id",
+                "offset",
+                F.col("seq").cast("int").alias("seq"),
+                F.lit("text_fact").alias("source"),
+                F.lit(name).alias("field"),
+                "value",
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def all_data_points(
+    tables: DataFrame, kvs: DataFrame, facts: DataFrame
+) -> DataFrame:
+    """U1: tables, then key-values, then text facts — the reference's
+    assembly order (app.py:256-332), encoded in src_rank so downstream
+    first-wins dedup reproduces it."""
+    t = tables.withColumn("src_rank", F.lit(0))
+    k = kvs.withColumn("src_rank", F.lit(1))
+    x = facts.withColumn("src_rank", F.lit(2))
+    return t.unionByName(k).unionByName(x)
+
+
+def dedup_first_wins(points: DataFrame) -> DataFrame:
+    """A6: keep the first occurrence per (doc_id, field, value) in assembly
+    order — dropDuplicates would be order-unstable, so this is a window
+    (structured_llm_processor.py:481-488 'seen_data' semantics)."""
+    w = Window.partitionBy("doc_id", "field", "value").orderBy(
+        "src_rank", "offset", "seq"
+    )
+    return (
+        points.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — sentence-aware chunker (sequential per doc → Arrow kernel)
+# ---------------------------------------------------------------------------
+
+CHUNK_OUT_SCHEMA = "doc_id string, line_no int, text string, chunk_id int"
+
+
+def _chunk_kernel(max_lines: int):
+    def kernel(key, pdf):
+        pdf = pdf.sort_values("line_no").reset_index(drop=True)
+        chunk_ids, cid, cur = [], 0, 0
+        for text in pdf["text"]:
+            cur += 1
+            chunk_ids.append(cid)
+            boundary = text.strip().endswith((".", "!", "?", ":"))
+            if cur >= max_lines and (boundary or cur >= max_lines + 5):
+                cid += 1
+                cur = 0
+        pdf["chunk_id"] = pd.Series(chunk_ids, dtype="int32")
+        return pdf[["doc_id", "line_no", "text", "chunk_id"]]
+
+    return kernel
+
+
+def chunk_lines(lines: DataFrame, max_lines: int = 25) -> DataFrame:
+    """A7: assign chunk ids to ordered lines, breaking at sentence
+    boundaries once max_lines is reached, force-breaking at max_lines+5
+    (structured_llm_processor.py:50-72). Inherently sequential per doc →
+    applyInPandas per doc_id; docs are small, parallelism is across docs."""
+    return lines.select("doc_id", "line_no", "text").groupBy("doc_id").applyInPandas(
+        _chunk_kernel(max_lines), schema=CHUNK_OUT_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — lexical commentary theta-join (fully JVM-side)
+# ---------------------------------------------------------------------------
+
+# the app.py:81-156 variant of marker cleaning: superscripts/(d)/[d]/*+
+# stripped, whitespace collapsed — but NO standalone-number rule.
+def _clean_markers_col(col):
+    c = F.regexp_replace(col, "[⁰¹²³⁴⁵⁶⁷⁸⁹]+", "")
+    c = F.regexp_replace(c, r"\(\d+\)", "")
+    c = F.regexp_replace(c, r"\[\d+\]", "")
+    c = F.regexp_replace(c, r"\*+", "")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def lexical_commentary(
+    points: DataFrame, lines: DataFrame, threshold: int = 7
+) -> DataFrame:
+    """Score every (data point × same-doc line) pair and keep the argmax
+    context per point (app.py:81-156):
+
+      +10  cleaned value (len>2) is a substring of the cleaned line
+      +7   per numeric fragment of the value (len>1) found in the line
+      +2   per field word (len>2) found in the raw lower line
+      keep score >= 7; context = lines[i-1 .. i+2] joined, marker-cleaned;
+      >400 chars → accumulate whole sentences while < 350, else [:400]+'...'
+
+    All scoring is built-in-expression work after an equi-join on doc_id —
+    the per-document line sets are small (SURVEY.md §2.3 J5), so this is a
+    partition-local nested loop the optimizer handles; no Python.
+
+    points: (doc_id, point_id, field, value); lines: (doc_id, line_no, text)
+    → (doc_id, point_id, commentary, score)
+    """
+    w_ctx = Window.partitionBy("doc_id").orderBy("line_no").rowsBetween(-1, 2)
+    ln = lines.select(
+        "doc_id",
+        "line_no",
+        F.lower(F.col("text")).alias("line_lower"),
+        _clean_markers_col(F.lower(F.col("text"))).alias("line_clean"),
+        _clean_markers_col(
+            F.array_join(F.collect_list("text").over(w_ctx), " ")
+        ).alias("context"),
+    )
+    pt = points.select(
+        "doc_id",
+        "point_id",
+        F.filter(
+            F.split(F.regexp_replace(F.lower(F.col("field")), "_", " "), " "),
+            lambda x: F.length(x) > 2,
+        ).alias("field_words"),
+        match_clean_col(F.col("value")).alias("value_clean"),
+        F.filter(
+            F.regexp_extract_all(
+                match_clean_col(F.col("value")),
+                F.lit(NUMERIC_FRAGMENT_RE),
+                F.lit(0),
+            ),
+            lambda x: F.length(x) > 1,
+        ).alias("nums"),
+    )
+    j = pt.join(ln, "doc_id")
+    score = (
+        F.when(
+            (F.length("value_clean") > 2)
+            & F.col("line_clean").contains(F.col("value_clean")),
+            F.lit(10),
+        ).otherwise(F.lit(0))
+        + F.lit(7)
+        * F.size(F.filter("nums", lambda n: F.col("line_clean").contains(n)))
+        + F.lit(2)
+        * F.size(
+            F.filter("field_words", lambda w: F.col("line_lower").contains(w))
+        )
+    )
+    scored = j.withColumn("score", score).filter(F.col("score") >= threshold)
+    w_best = Window.partitionBy("doc_id", "point_id").orderBy(
+        F.desc("score"), F.asc("line_no")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "point_id", "line_no", "context", "score")
+    )
+    return best.select(
+        "doc_id",
+        "point_id",
+        "line_no",
+        _truncate_sentences_col(F.col("context"), 400, 350).alias("commentary"),
+        "score",
+    )
+
+
+def _truncate_sentences_col(col, trigger: int, budget: int):
+    """O5: if len(text) > trigger, accumulate whole sentences while the
+    running length stays < budget; if nothing fits, hard cut at trigger with
+    '...' (app.py:139-152). Expressed with the aggregate() HOF — state is
+    (accumulated, stopped)."""
+    sentences = F.split(
+        F.regexp_replace(F.regexp_replace(col, "!", "."), r"\?", "."), r"\."
+    )
+    acc = F.aggregate(
+        sentences,
+        F.struct(F.lit("").alias("txt"), F.lit(False).alias("stop")),
+        lambda a, s: F.when(
+            a["stop"]
+            | (F.trim(s) == "")
+            | (F.length(F.concat(a["txt"], F.trim(s))) >= budget),
+            F.struct(
+                a["txt"].alias("txt"),
+                F.lit(True).alias("stop"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(a["txt"], F.trim(s), F.lit(". ")).alias("txt"),
+                F.lit(False).alias("stop"),
+            )
+        ),
+    )
+    return F.when(F.length(col) <= trigger, col).otherwise(
+        F.when(
+            F.trim(acc["txt"]) != "", F.trim(acc["txt"])
+        ).otherwise(F.concat(F.substring(col, 1, trigger), F.lit("...")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 + A8 — unmatched-text sessionization (gaps-and-islands, pure SQL)
+# ---------------------------------------------------------------------------
+
+
+def unmatched_paragraphs(
+    lines: DataFrame,
+    used_lines: DataFrame,
+    min_line_len: int = 15,
+    min_para_len: int = 50,
+    max_paras: int = 3,
+) -> DataFrame:
+    """Lines not consumed by commentary (±1 context, app.py:186-190) are
+    sessionized into paragraphs: consecutive substantial unused lines form
+    an island; islands are kept when the joined text exceeds min_para_len,
+    capped at max_paras per doc (app.py:192-238).
+
+    used_lines: (doc_id, line_no) — the anti-join side; context expansion to
+    ±1 happens here via sequence+explode (W3)."""
+    used_ctx = used_lines.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("line_no") - 1, F.col("line_no") + 1)
+        ).alias("line_no"),
+    ).distinct()
+    avail = lines.join(used_ctx, ["doc_id", "line_no"], "left_anti")
+
+    w = Window.partitionBy("doc_id").orderBy("line_no")
+    flagged = lines.join(
+        avail.select("doc_id", "line_no", F.lit(1).alias("ok")),
+        ["doc_id", "line_no"],
+        "left",
+    ).withColumn(
+        "usable",
+        (F.col("ok") == 1) & (F.length(F.trim("text")) > min_line_len),
+    )
+    islands = (
+        flagged.withColumn(
+            "brk", F.when(F.col("usable"), F.lit(0)).otherwise(F.lit(1))
+        )
+        .withColumn("island", F.sum("brk").over(w))
+        .filter(F.col("usable"))
+    )
+    paras = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("line_no", F.trim("text").alias("t")))
+                ).getField("t"),
+                " ",
+            ).alias("paragraph"),
+            F.min("line_no").alias("first_line"),
+        )
+        .filter(F.length("paragraph") > min_para_len)
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy("first_line")
+    return (
+        paras.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= max_paras)
+        .select(
+            "doc_id",
+            (F.col("rank") - 1).cast("int").alias("para_no"),
+            _truncate_sentences_col(F.col("paragraph"), 500, 450).alias(
+                "paragraph"
+            ),
+        )
+    )
