@@ -256,13 +256,19 @@ def interleave_flat_documents(df):
 
     Fully deterministic from (doc_id, text): sentences of ``text`` become
     text spans; fixed boiler/footnote/table/kv/media spans are injected at
-    positions keyed on ``crc32(doc_id)``. Built entirely from Spark SQL
-    expressions — no Python row loop.
+    positions keyed on an md5-derived selector. Every expression here has an
+    exact DuckDB equivalent (no lookbehind regex, no crc32) so the driver's
+    oracle can reproduce the full interleave+extract chain in SQL.
     """
     from pyspark.sql import functions as F
 
-    sentences = F.split(F.col("text"), r"(?<=[.!?]) ")
-    h = F.crc32(F.col("doc_id").cast("string"))
+    # portable sentence split: mark boundaries, then split (no lookbehind)
+    sentences = F.split(
+        F.regexp_replace(F.col("text"), r"([.!?]) ", "$1\x1e"), "\x1e"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
     boiler = F.element_at(
         F.array(*[F.lit(b) for b in BOILER_LINES]),
         (h % len(BOILER_LINES) + 1).cast("int"),

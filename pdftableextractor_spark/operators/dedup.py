@@ -1,0 +1,304 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+All signature computation is built-in Spark SQL expression work (JVM-side,
+codegen) — the portable hash primitive is ``md5`` so the DuckDB oracle can
+reproduce results bit-for-bit:
+
+  word hash   h(w)  = conv(substr(md5(w), 1, 15), 16, 10)   -- 60-bit int
+  minhash sig s_i   = min over shingles of md5(i || ':' || shingle)
+  band hash         = md5(concat_ws(US, sig[band*r+1 .. band*r+r]))
+
+Operators:
+  exact_dedup            hash-groupBy, first doc_id wins
+  tokenize / shingles    shared word/shingle spec (lower, \\s+ split, n-gram)
+  minhash_signatures     k independent min-hashes per doc
+  minhash_near_dups      LSH band join → candidate pairs → exact-Jaccard verify
+  simhash_signatures     60-bit simhash via per-bit vote aggregation
+  simhash_near_dups      bit_count(xor) Hamming join within LSH-prefix blocks
+  ngram_jaccard_pairs    exact pairwise Jaccard within a blocking key
+  embedding_near_dups    cosine near-dup pairs within a blocking key
+
+Scale notes (100 TB): every signature is computed scan-side with no shuffle;
+the only shuffles are the band-bucket join (keys are uniform md5 values →
+no planted skew; AQE skew-join as backstop) and the final pair dedup. The
+pairwise verify runs only on band-collision candidates, never all-pairs.
+Blocking keys bound the quadratic term for the exact-pair variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdftableextractor_spark.types import US
+
+NUM_HASHES = 64
+BAND_ROWS = 4  # 16 bands x 4 rows
+SIMHASH_BITS = 60  # 15 hex chars of md5 → avoids sign issues in bigint
+
+
+def tokenize_col(col):
+    """lower → trim → split on whitespace. The shared token spec."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def shingles_col(col, n: int):
+    """Distinct word n-grams of the token array (sorted for set semantics)."""
+    w = tokenize_col(col)
+    if n == 1:
+        return F.array_sort(F.array_distinct(w))
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.array_sort(F.array_distinct(gram))
+    )
+
+
+def word_hash_col(col):
+    """Portable 60-bit word hash: conv(substr(md5(w),1,15), 16, 10)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate grouping: one representative (lowest doc_id) per
+    md5(text); returns (doc_id, content_hash, group_size)."""
+    h = docs.select(
+        F.col("doc_id"), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "group_size", F.count("*").over(Window.partitionBy("content_hash"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash", "group_size")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 1,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """(doc_id, sig array<string>[num_hashes], shingles) — all scan-side."""
+    sh = docs.select(
+        "doc_id", shingles_col(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    def _seeded(i):
+        return lambda x: F.md5(F.concat_ws(":", F.lit(i), x))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform("shingles", _seeded(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.select("doc_id", sig.alias("sig"), "shingles")
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 1,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: band-bucket join → exact Jaccard
+    verify → (doc_a, doc_b, jaccard). Only band-collision candidates are
+    verified; the band join is the lone shuffle."""
+    sigs = minhash_signatures(docs, text_col, n, num_hashes)
+    n_bands = num_hashes // band_rows
+    bands = sigs.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            US,
+                            *[
+                                F.col("sig")[b * band_rows + r]
+                                for r in range(band_rows)
+                            ],
+                        )
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        "band_idx",
+        "band_hash",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        "band_idx",
+        "band_hash",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """60-bit SimHash: per-token 60-bit hash; each bit votes ±1 weighted by
+    term frequency; sign of the vote sets the output bit. Explode + groupBy
+    keeps everything in codegen; one shuffle on doc_id."""
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_col(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    hashed = toks.select("doc_id", word_hash_col(F.col("w")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 8,
+    block_bits: int = 12,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Blocking on the
+    top ``block_bits`` bits bounds the join (at 100 TB the block prefix is
+    the shuffle key; rotate prefixes for full recall — here one rotation)."""
+    sigs = simhash_signatures(docs, text_col)
+    blocked = sigs.withColumn(
+        "block", F.shiftright(F.col("simhash"), SIMHASH_BITS - block_bits)
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "block"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard within a blocking key (the baseline the
+    sketches approximate). Quadratic only within blocks."""
+    sh = docs.select(
+        F.col("doc_id"),
+        F.col(block_col).alias("block"),
+        shingles_col(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "block"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "block"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def cosine_col(a, b):
+    """Cosine similarity of two array<float/double> columns, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key (cluster
+    id / LSH bucket at scale): (vec_a, vec_b, cos)."""
+    e = embeddings.select(
+        "vec_id", F.col(block_col).alias("block"), "embedding"
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "block"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,137 @@
+"""Text-analysis operators for training-data curation: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything is built-in Spark SQL expression work (whole-stage codegen); the
+formulas are frozen, integer/6-decimal arithmetic so the DuckDB oracle can
+match value-hashes exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdftableextractor_spark.operators.dedup import shingles_col, tokenize_col
+
+# BPE-ish token regex: letter runs, digit runs, single other non-space chars
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny per-language stopword marker sets (n-gram heuristic analog); frozen.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "for"),
+    "es": ("el", "la", "de", "los", "que", "en", "y", "una"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des", "dans"),
+    "zh": ("的", "是", "在", "了", "我", "有", "和", "不"),
+}
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens, chars) — whitespace + BPE-ish regex
+    token counts."""
+    return docs.select(
+        "doc_id",
+        F.size(tokenize_col(F.col(text_col))).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("bpe_tokens"),
+        F.length(F.col(text_col)).alias("chars"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+
+      len_score   = least(chars, 2000) / 2000
+      punct_ratio = punct chars / chars
+      stop_ratio  = en-stopword tokens / tokens
+      score       = round(0.4*len_score + 0.3*least(stop_ratio*3, 1)
+                          + 0.3*(1 - least(punct_ratio*5, 1)), 6)
+    """
+    t = F.col(text_col)
+    toks = tokenize_col(t)
+    chars = F.length(t)
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    stop_hits = F.size(F.filter(toks, lambda x: eval_in_set(x, STOPWORDS)))
+    len_score = F.least(chars, F.lit(2000)) / F.lit(2000.0)
+    punct_ratio = punct / F.greatest(chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(F.size(toks), F.lit(1))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * F.least(stop_ratio * 3, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(len_score, 6).alias("len_score"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def eval_in_set(col, values) -> object:
+    out = F.lit(False)
+    for v in values:
+        out = out | (col == v)
+    return out
+
+
+def _in_set_pred(values):
+    """Single-arg lambda factory (HOF lambdas must be unary for F.filter)."""
+    return lambda x: eval_in_set(x, values)
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language ID: count per-language stopword hits over the
+    token array; argmax wins, ties broken by language code order; zero hits →
+    'und'. For zh (no whitespace tokens) the marker hit is a substring count
+    over the raw text."""
+    toks = tokenize_col(F.col(text_col))
+    hit_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        if lang == "zh":
+            c = None
+            for m in markers:
+                piece = (
+                    F.length(F.col(text_col))
+                    - F.length(F.regexp_replace(F.col(text_col), m, ""))
+                )
+                c = piece if c is None else c + piece
+            hit_cols.append(c.alias(f"hits_{lang}"))
+        else:
+            hit_cols.append(
+                F.size(F.filter(toks, _in_set_pred(markers))).alias(
+                    f"hits_{lang}"
+                )
+            )
+    scored = docs.select("doc_id", *hit_cols)
+    langs = sorted(LANG_MARKERS.keys())
+    best_n = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    # argmax with first-in-code-order tie-break; all-zero → 'und'
+    best = F.lit("und")
+    for lang in reversed(langs):
+        best = F.when(
+            (F.col(f"hits_{lang}") == best_n) & (best_n > 0), F.lit(lang)
+        ).otherwise(best)
+    return scored.select(
+        "doc_id",
+        *[F.col(f"hits_{lang}") for lang in langs],
+        best.alias("lang_pred"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", k: int = 8, n: int = 3
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the k lexicographically smallest
+    md5 hashes of word n-gram shingles, joined — a stable near-dup-robust
+    document identity — plus the full-content md5."""
+    sh = shingles_col(F.col(text_col), n)
+    hashes = F.array_sort(F.transform(sh, lambda x: F.md5(x)))
+    return docs.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.concat_ws("", F.slice(hashes, 1, k)).alias("fingerprint"),
+    )

@@ -1,0 +1,120 @@
+"""Semantic unit tests for the training-data curation suite (the driver
+oracles already pin exact values; these pin the semantics that SQL equality
+can't express — recall of sketches vs exact baselines, invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdftableextractor_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from pdftableextractor_spark.operators.multimodal import (
+    decode_stub,
+    extract_features,
+    real_decode,
+    synth_assets,
+)
+from pdftableextractor_spark.operators.similarity import cosine_topk, ivf_topk
+from pdftableextractor_spark.operators.textstats import lang_id, quality_score
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    rows = [("a", "same text"), ("b", "same text"), ("c", "other text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["group_size"] for r in exact_dedup(df).collect()}
+    assert got == {"a": 2, "c": 1}  # first doc_id wins, b deduped away
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Every exact near-dup pair above a high threshold must be recalled by
+    the LSH path (high-sim pairs collide in some band w.h.p.; with unigram
+    shingles and jaccard>=0.8 at 64 hashes/16 bands this is deterministic in
+    practice on this corpus)."""
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+        .limit(150)
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(
+            docs.withColumn("block", F.lit(1)), "block", n=1, threshold=0.8
+        ).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dups(docs, n=1, threshold=0.8).collect()
+    }
+    assert exact, "expected some high-jaccard pairs in the corpus"
+    missed = exact - lsh
+    assert not missed, f"LSH missed {len(missed)}/{len(exact)} exact pairs"
+    assert lsh <= exact or all(p in exact for p in lsh)  # verify step exact
+
+
+def test_simhash_is_deterministic_and_60bit(spark):
+    docs = spark.createDataFrame(
+        [("a", "alpha beta gamma"), ("b", "alpha beta gamma"), ("c", "x y z")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert got["a"] == got["b"]
+    assert got["a"] != got["c"]
+    assert 0 <= got["a"] < (1 << 60)
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, q, k=10, nprobe=3).collect()]
+    # the query's own cell is always probed → recall well above chance
+    overlap = len(set(exact) & set(approx))
+    assert exact[0] == 0  # the query vector itself is its own top-1
+    assert overlap >= 5, f"IVF recall too low: {overlap}/10"
+
+
+def test_quality_score_bounds(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    bad = quality_score(docs).filter(
+        (F.col("quality") < 0) | (F.col("quality") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_lang_id_accuracy_on_labeled_corpus(spark):
+    """The testdata documents carry a lang column; the marker heuristic only
+    sees real language signal where markers appear, but must never be wrong
+    in a *systematic* way: predictions are confined to known codes."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    preds = {r["lang_pred"] for r in lang_id(docs).collect()}
+    assert preds <= {"de", "en", "es", "fr", "zh", "und"}
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    assets = synth_assets(docs)
+    feats = extract_features(assets).collect()
+    assert len(feats) == docs.count()
+    for r in feats[:10]:
+        assert len(r["feat"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["feat"])
+        assert r["kind"] in ("image", "audio", "video")
+    # decode stub is deterministic
+    assert (decode_stub(b"abc", "image") == decode_stub(b"abc", "image")).all()
+    # real decode is explicitly stubbed out
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        real_decode(b"abc", "image")
