@@ -34,8 +34,10 @@ from pdftableextractor_spark.functions.strings import (
     normalize_text_sql,
 )
 from pdftableextractor_spark.operators.dedup import (
+    MINHASH_P,
     embedding_near_dups,
     exact_dedup,
+    minhash_coeffs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_near_dups,
@@ -683,6 +685,14 @@ SELECT doc_id, content_hash, group_size FROM (
 ) WHERE rn = 1
 """
 
+    coeffs = minhash_coeffs(8)
+    seed_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs)
+    )
+    h0 = (
+        "(CAST(CAST('0x' || substr(md5(s), 1, 15) AS UBIGINT) AS BIGINT)"
+        f" % {MINHASH_P})"
+    )
     o["q19_minhash_sig"] = f"""
 WITH sh AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -690,18 +700,21 @@ WITH sh AS (
   FROM documents
 ), ex AS (
   SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
-), seeds AS (
-  SELECT unnest(range(0, 8)) AS i
+), hx AS (
+  SELECT doc_id, {h0} AS h0 FROM ex
+), seeds(i, a, b) AS (
+  VALUES {seed_rows}
 ), mins AS (
-  SELECT e.doc_id, se.i,
-         min(md5(CAST(se.i AS VARCHAR) || ':' || e.s)) AS mh
-  FROM ex e CROSS JOIN seeds se GROUP BY e.doc_id, se.i
+  SELECT hx.doc_id, seeds.i,
+         min((seeds.a * hx.h0 + seeds.b) % {MINHASH_P}) AS mh
+  FROM hx CROSS JOIN seeds GROUP BY hx.doc_id, seeds.i
 )
 SELECT doc_id,
        min(CASE WHEN i = 0 THEN mh END) AS s0,
        min(CASE WHEN i = 1 THEN mh END) AS s1,
        min(CASE WHEN i = 7 THEN mh END) AS s7,
-       md5(string_agg(CASE WHEN i < 4 THEN mh END, chr(31) ORDER BY i)) AS band0
+       md5(string_agg(CASE WHEN i < 4 THEN CAST(mh AS VARCHAR) END,
+                      chr(31) ORDER BY i)) AS band0
 FROM mins GROUP BY doc_id
 """
 

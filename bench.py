@@ -1,0 +1,226 @@
+"""Benchmark harness — prints ONE JSON line.
+
+    python bench.py                 # sf dir from $SPARK_GRAFT_SF_DIR
+                                    # (default /root/testdata/sf0.1),
+                                    # cores from $SPARK_GRAFT_CPUS (default 32)
+    python bench.py --scaling       # run the extraction job at local[8] AND
+                                    # local[32] on the same input and report
+                                    # throughput + scaling efficiency
+                                    # (BASELINE.json north-rule evidence)
+
+Headline queries:
+  extract_synth     flagship: synthetic interleaved corpus (text/boiler/
+                    table/kv/media/pdf spans, heavy-tailed) → extract_spans
+  extract_testdata  interleaved driver documents table → extract_spans
+  structure_points  extraction frames → data points → dedup → commentary
+  pricing_summary   TPC-H-Q1-style aggregate over lineitem
+  minhash_pairs     MinHash-LSH near-dup pairs over documents
+  simhash           SimHash signatures over documents
+  ann_topk          brute-force cosine top-k over embeddings
+  token_stats       token counts + quality + lang-id over documents
+
+Each query is materialized with a noop-format write (full execution, no
+driver collect cost). The synthetic corpus is cached as parquet under
+_artifacts/ keyed by (n_docs, seed) so generation cost is excluded.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def _synth_corpus_path(n_docs: int, seed: int) -> str:
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_artifacts")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"bench_corpus_n{n_docs}_s{seed}.parquet")
+    if not os.path.exists(path):
+        from pdftableextractor_spark.corpus import write_corpus_parquet
+
+        write_corpus_parquet(path, n_docs, seed=seed)
+    return path
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def build_queries(spark, sf_dir: str, synth_path: str):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from pdftableextractor_spark.corpus import interleave_flat_documents
+    from pdftableextractor_spark.operators.dedup import (
+        minhash_near_dups,
+        simhash_signatures,
+    )
+    from pdftableextractor_spark.operators.extract import (
+        extract_frames,
+        extract_spans,
+    )
+    from pdftableextractor_spark.operators.similarity import cosine_topk
+    from pdftableextractor_spark.operators.structure import (
+        all_data_points,
+        dedup_first_wins,
+        kv_points,
+        lexical_commentary,
+        table_points,
+        text_fact_points,
+    )
+    from pdftableextractor_spark.operators.textstats import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    docs_flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs_str = docs_flat.withColumn("doc_id", F.col("doc_id").cast("string"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    synth = spark.read.parquet(synth_path)
+
+    def structure_points():
+        frames = extract_frames(interleave_flat_documents(docs_flat))
+        pts = dedup_first_wins(
+            all_data_points(
+                table_points(frames["cells"]),
+                kv_points(frames["kvs"]),
+                text_fact_points(
+                    frames["lines"].select(
+                        "doc_id", F.col("line_no").alias("offset"), "text"
+                    )
+                ),
+            )
+        )
+        w = Window.partitionBy("doc_id").orderBy("src_rank", "offset", "seq")
+        pts = pts.withColumn("point_id", (F.row_number().over(w) - 1).cast("int"))
+        com = lexical_commentary(
+            pts.select("doc_id", "point_id", "field", "value"), frames["lines"]
+        )
+        _materialize(pts.join(com, ["doc_id", "point_id"], "left"))
+
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+
+    return {
+        "extract_synth": lambda: _materialize(extract_spans(synth)),
+        "extract_testdata": lambda: _materialize(
+            extract_spans(interleave_flat_documents(docs_flat))
+        ),
+        "structure_points": structure_points,
+        "pricing_summary": lambda: _materialize(
+            entry.queries()["q13_pricing_summary"](spark, sf_dir)
+        ),
+        # trigram shingles: the realistic near-dup config (unigram shingles on
+        # a shared-vocabulary corpus collide in every band → quadratic
+        # candidates, which is a corpus artifact, not an engine property)
+        "minhash_pairs": lambda: _materialize(
+            minhash_near_dups(docs_str, n=3, threshold=0.5)
+        ),
+        "simhash": lambda: _materialize(simhash_signatures(docs_str)),
+        "ann_topk": lambda: _materialize(cosine_topk(emb, qvec, k=10)),
+        "token_stats": lambda: _materialize(
+            token_count(docs_str)
+            .join(quality_score(docs_str), "doc_id")
+            .join(lang_id(docs_str), "doc_id")
+        ),
+    }
+
+
+def run_bench(sf_dir: str, cpus: str, n_synth: int) -> dict:
+    from pdftableextractor_spark.session import build_session
+
+    synth_path = _synth_corpus_path(n_synth, seed=42)
+    spark = build_session(
+        app_name="bench", master=f"local[{cpus}]"
+    )
+    queries = build_queries(spark, sf_dir, synth_path)
+    # warm-up: JVM/codegen/python-worker spin-up on a tiny slice so the
+    # timed numbers measure the engine, not JIT
+    from pdftableextractor_spark.operators.extract import extract_spans
+
+    _materialize(extract_spans(spark.read.parquet(synth_path).limit(50)))
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        timings[name] = _timed(fn)
+    total = round(sum(timings.values()), 3)
+    n_docs = spark.read.parquet(synth_path).count()
+    result = {
+        "metric": "headline query wall time (extraction + structuring + curation)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("/")[-1],
+        "synth_docs": n_docs,
+        "extract_docs_per_sec": round(n_docs / timings["extract_synth"], 2),
+        "cpus": cpus,
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling(sf_dir: str, n_synth: int) -> dict:
+    """North-rule evidence: same extraction job, same input, local[8] vs
+    local[32]; efficiency = (t_8 / t_32) / 4."""
+    from pdftableextractor_spark.operators.extract import extract_spans
+    from pdftableextractor_spark.session import build_session
+
+    synth_path = _synth_corpus_path(n_synth, seed=42)
+    out = {}
+    for cores in (8, 32):
+        spark = build_session(
+            app_name=f"scaling-{cores}", master=f"local[{cores}]"
+        )
+        n_docs = spark.read.parquet(synth_path).count()
+        # warm-up pass (JIT/codegen), then the measured pass
+        _materialize(extract_spans(spark.read.parquet(synth_path)))
+        t = _timed(
+            lambda: _materialize(extract_spans(spark.read.parquet(synth_path)))
+        )
+        out[f"local[{cores}]"] = {
+            "sec": t,
+            "docs_per_sec": round(n_docs / t, 2),
+        }
+        spark.stop()
+    t8 = out["local[8]"]["sec"]
+    t32 = out["local[32]"]["sec"]
+    out["scaling_efficiency"] = round((t8 / t32) / 4.0, 3)
+    return {
+        "metric": "extraction scaling efficiency local[8] vs local[32]",
+        "value": out["scaling_efficiency"],
+        "unit": "efficiency",
+        "queries": {k: v["sec"] for k, v in out.items() if isinstance(v, dict)},
+        "detail": out,
+        "synth_docs": n_synth,
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--synth-docs", type=int, default=None)
+    args = p.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf_name = sf_dir.rstrip("/").split("/")[-1]
+    default_synth = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}.get(
+        sf_name, 2000
+    )
+    n_synth = args.synth_docs or default_synth
+
+    if args.scaling:
+        print(json.dumps(run_scaling(sf_dir, n_synth)))
+    else:
+        print(json.dumps(run_bench(sf_dir, cpus, n_synth)))
+
+
+if __name__ == "__main__":
+    main()

@@ -247,7 +247,10 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42) -> None:
             ),
         }
     )
-    pq.write_table(table, path)
+    # small row groups → Spark gets split points even from a single file
+    # (one fat row group would serialize the whole narrow pipeline into one
+    #  task — the exact skew case the engine is designed against)
+    pq.write_table(table, path, row_group_size=64)
 
 
 def interleave_flat_documents(df):

@@ -36,6 +36,29 @@ NUM_HASHES = 64
 BAND_ROWS = 4  # 16 bands x 4 rows
 SIMHASH_BITS = 60  # 15 hex chars of md5 → avoids sign issues in bigint
 
+# universal-hash family for MinHash: sig_i = min((a_i*h + b_i) mod P) over
+# shingle hashes h (h < P). P = 2^31-1 keeps a_i*h inside int64. The a/b
+# constants derive from md5(i) so Spark and the DuckDB oracle share them.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = (
+            int.from_bytes(hashlib.md5(f"a:{i}".encode()).digest()[:8], "big")
+            % (MINHASH_P - 1)
+            + 1
+        )
+        b = (
+            int.from_bytes(hashlib.md5(f"b:{i}".encode()).digest()[:8], "big")
+            % MINHASH_P
+        )
+        out.append((a, b))
+    return out
+
 
 def tokenize_col(col):
     """lower → trim → split on whitespace. The shared token spec."""
@@ -89,20 +112,53 @@ def minhash_signatures(
     n: int = 1,
     num_hashes: int = NUM_HASHES,
 ) -> DataFrame:
-    """(doc_id, sig array<string>[num_hashes], shingles) — all scan-side."""
-    sh = docs.select(
-        "doc_id", shingles_col(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    def _seeded(i):
-        return lambda x: F.md5(F.concat_ws(":", F.lit(i), x))
+    """(doc_id, sig array<bigint>[num_hashes]).
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform("shingles", _seeded(i)))
-            for i in range(num_hashes)
-        ]
+    One md5 per shingle, then ``num_hashes`` universal-hash mixes. Shape:
+    explode + groupBy(doc_id) with one codegen'd min-agg per hash — NOT
+    array higher-order functions (HOF lambdas are interpreted, measured ~20x
+    slower). Map-side partial aggregation reduces the shuffle to
+    ``num_hashes`` values per doc per input partition, so this scales to
+    arbitrarily large documents."""
+    grams = exploded_shingles(docs, text_col, n)
+    h0 = grams.select(
+        "doc_id", (word_hash_col(F.col("s")) % MINHASH_P).alias("h0")
     )
-    return sh.select("doc_id", sig.alias("sig"), "shingles")
+    aggs = [
+        F.min((F.lit(a) * F.col("h0") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return (
+        h0.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
+
+
+def exploded_shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, s) — one row per n-gram occurrence (dups kept; min-hash over
+    a multiset equals min-hash over the set). Built from posexplode + lead
+    windows so everything stays in codegen — constructing gram arrays with
+    higher-order-function lambdas is interpreted and was the measured
+    bottleneck of the signature scan."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokenize_col(F.col(text_col))).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    if n == 1:
+        return toks.select("doc_id", F.col("w").alias("s"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("w"), *[F.lead("w", j).over(w) for j in range(1, n)]
+        ).alias("s"),
+        F.lead("w", n - 1).over(w).alias("last_tok"),
+    )
+    return leads.filter(F.col("last_tok").isNotNull()).select("doc_id", "s")
 
 
 def minhash_near_dups(
@@ -118,9 +174,9 @@ def minhash_near_dups(
     verified; the band join is the lone shuffle."""
     sigs = minhash_signatures(docs, text_col, n, num_hashes)
     n_bands = num_hashes // band_rows
+    # slim band rows: never carry shingle arrays through the bucket join
     bands = sigs.select(
         "doc_id",
-        "shingles",
         F.posexplode(
             F.array(
                 *[
@@ -139,27 +195,41 @@ def minhash_near_dups(
         ).alias("band_idx", "band_hash"),
     )
     a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        "band_idx",
-        "band_hash",
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
     )
     b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        "band_idx",
-        "band_hash",
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
     )
     cand = (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact-Jaccard verify, only for candidate docs: semi-join prunes the
+    # shingle-set aggregation to band-collision participants
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        exploded_shingles(docs, text_col, n)
+        .join(ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("shingles"))
+    )
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.select(
+        pairs.select(
             "doc_a",
             "doc_b",
             F.round(inter / union, 6).alias("jaccard"),

@@ -138,12 +138,18 @@ def _table_branch(spans: DataFrame) -> DataFrame:
             )
         ).alias("grid"),
     )
+    # posexplode_outer on purpose: plain posexplode makes Catalyst push its
+    # implicit `size(grid) > 0` predicate below the repartition Exchange with
+    # the WHOLE dense-grid expression inlined into the filter — the cell map
+    # is then rebuilt per grid cell per row (observed 20x slowdown). The
+    # outer variant generates no such predicate; null cells are filtered
+    # right after instead.
     return dense.select(
         "doc_id",
         "offset",
         "max_c",
-        F.posexplode("grid").alias("sub_idx", "cell"),
-    ).select(
+        F.posexplode_outer("grid").alias("sub_idx", "cell"),
+    ).filter(F.col("cell").isNotNull()).select(
         "doc_id",
         "offset",
         F.col("sub_idx").cast("int").alias("sub_idx"),
@@ -196,10 +202,19 @@ def _pdf_branch(spans: DataFrame) -> DataFrame:
     return text_lines.unionByName(cells)
 
 
-def extract_spans(documents: DataFrame) -> DataFrame:
+def extract_spans(documents: DataFrame, salt: bool = True) -> DataFrame:
     """documents(doc_id, spans) → spans_out(doc_id, order, kind, text,
-    media_ref), the driver-checked span sequence (FIXTURES.md §2)."""
+    media_ref), the driver-checked span sequence (FIXTURES.md §2).
+
+    ``salt=True`` inserts the explicit salted repartition after the explode
+    (plans/skew.py): heavy documents and fat input splits spread across the
+    cluster before any kernel work. Disable only for tiny in-memory inputs.
+    """
+    from pdftableextractor_spark.plans.skew import salted_repartition
+
     s = explode_spans(documents)
+    if salt:
+        s = salted_repartition(s, "doc_id", "offset")
     zero = F.lit(0).cast("int").alias("sub_idx")
 
     text = _text_branch(

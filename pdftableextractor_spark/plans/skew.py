@@ -1,0 +1,31 @@
+"""Skew breaking: explicit salted repartition (SURVEY.md §4.1).
+
+A multi-hundred-page document (or a single fat parquet row group) must never
+become one task. ``salted_repartition`` hash-partitions exploded spans on
+(doc_id, offset): the offset acts as a deterministic salt, so one heavy
+document spreads over many partitions while the doc-level reassembly window
+later regroups it. This costs one shuffle of the raw spans — cheap relative
+to the per-span kernel work it parallelizes, and the *only* way a
+1000-executor cluster keeps its tail tasks short when doc sizes are
+heavy-tailed (BASELINE.json north_star).
+
+AQE (enabled in session.py) remains the backstop for residual skew in the
+reassembly window and the LSH band joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def salted_repartition(
+    df: DataFrame, *cols: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Hash-repartition on ``cols`` (include a fine-grained column like
+    ``offset`` as the salt). ``num_partitions`` defaults to
+    spark.sql.shuffle.partitions."""
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    return df.repartition(num_partitions, *cols)
