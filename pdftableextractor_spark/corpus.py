@@ -218,12 +218,21 @@ def gen_documents(n_docs: int, seed: int = 42) -> list[dict]:
     return [gen_document(seed, i) for i in range(n_docs)]
 
 
-def write_corpus_parquet(path: str, n_docs: int, seed: int = 42) -> None:
-    """Write the synthetic corpus as parquet without Spark (pyarrow)."""
+def write_corpus_parquet(
+    path: str, n_docs: int, seed: int = 42, docs_per_file: int = 250
+) -> None:
+    """Write the synthetic corpus as parquet without Spark (pyarrow).
+
+    Written as a DIRECTORY of part files (≤ docs_per_file docs each) with
+    small row groups: Spark's scan parallelism comes from file splits, and a
+    single fat file would serialize the scan+explode stage into one task —
+    the realistic 100 TB layout is many files, so the bench input mirrors it.
+    """
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    docs = gen_documents(n_docs, seed)
     span_t = pa.struct(
         [
             ("kind", pa.string()),
@@ -232,25 +241,40 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42) -> None:
             ("offset", pa.int32()),
         ]
     )
-    table = pa.table(
-        {
-            "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
-            "spans": pa.array(
-                [
+
+    def _table(docs):
+        return pa.table(
+            {
+                "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
+                "spans": pa.array(
                     [
-                        (s["kind"], s["text"], s["media_ref"], s["offset"])
-                        for s in d["spans"]
-                    ]
-                    for d in docs
-                ],
-                pa.list_(span_t),
-            ),
-        }
-    )
-    # small row groups → Spark gets split points even from a single file
-    # (one fat row group would serialize the whole narrow pipeline into one
-    #  task — the exact skew case the engine is designed against)
-    pq.write_table(table, path, row_group_size=64)
+                        [
+                            (s["kind"], s["text"], s["media_ref"], s["offset"])
+                            for s in d["spans"]
+                        ]
+                        for d in docs
+                    ],
+                    pa.list_(span_t),
+                ),
+            }
+        )
+
+    if n_docs <= docs_per_file:
+        pq.write_table(_table(gen_documents(n_docs, seed)), path,
+                       row_group_size=64)
+        return
+    os.makedirs(path, exist_ok=True)
+    part = 0
+    for lo in range(0, n_docs, docs_per_file):
+        docs = [
+            gen_document(seed, i) for i in range(lo, min(lo + docs_per_file, n_docs))
+        ]
+        pq.write_table(
+            _table(docs),
+            os.path.join(path, f"part-{part:05d}.parquet"),
+            row_group_size=64,
+        )
+        part += 1
 
 
 def interleave_flat_documents(df):

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pdftableextractor_spark.types import RS, US
@@ -54,38 +55,6 @@ def parse_boxes(payload: str) -> list[tuple[str, float, float, float, float]]:
     return boxes
 
 
-def _cluster_lines(boxes) -> list[list[tuple]]:
-    """Group word boxes into reading-order lines by y-gap, then x-sort."""
-    order = sorted(range(len(boxes)), key=lambda i: (boxes[i][1], boxes[i][2], i))
-    lines: list[list[tuple]] = []
-    anchor_top = None
-    for i in order:
-        b = boxes[i]
-        if anchor_top is not None and b[1] - anchor_top <= LINE_EPS:
-            lines[-1].append(b)
-        else:
-            lines.append([b])
-            anchor_top = b[1]
-    return [sorted(ln, key=lambda b: (b[2], b[1])) for ln in lines]
-
-
-def _segments(line) -> list[dict]:
-    """Split an x-sorted line into whitespace-gap segments."""
-    segs = []
-    cur_words, cur_start, cur_end = [], None, None
-    for w, t, l, wd, h in line:
-        if cur_end is not None and l - cur_end >= GAP_MIN:
-            segs.append({"text": " ".join(cur_words), "start": cur_start, "end": cur_end})
-            cur_words, cur_start, cur_end = [], None, None
-        if cur_start is None:
-            cur_start = l
-        cur_words.append(w)
-        cur_end = l + wd
-    if cur_words:
-        segs.append({"text": " ".join(cur_words), "start": cur_start, "end": cur_end})
-    return segs
-
-
 def _merge_columns(seg_lines: list[list[dict]]) -> list[tuple[float, float]]:
     """x-interval union over all segments of a table region → column spans."""
     ivals = sorted(
@@ -112,16 +81,86 @@ def _assign_col(seg: dict, cols: list[tuple[float, float]]) -> int:
     )
 
 
+def _parse_fast(payload: str):
+    """Vectorized parse: one split + three numpy float casts instead of
+    per-record splits and per-field float() (the measured hot spot of the
+    kernel). Falls back to the record-at-a-time parser on malformed input.
+    Returns (words list, top, left, width float arrays) or None."""
+    fields = payload.replace(RS, US).split(US)
+    if len(fields) % 5 != 0:
+        return None
+    try:
+        words = fields[0::5]
+        top = np.asarray(fields[1::5], dtype=np.float64)
+        left = np.asarray(fields[2::5], dtype=np.float64)
+        width = np.asarray(fields[3::5], dtype=np.float64)
+    except ValueError:
+        return None
+    return words, top, left, width
+
+
 def layout_page(payload: str) -> list[tuple[str, str]]:
     """One serialized page → ordered [(kind, text)] with kind in
     ('text', 'table_cell'). Text lines are RAW (normalization/footnote/
     boilerplate filtering happens in the shared Spark-side SQL path so the
     string semantics live in exactly one place)."""
-    boxes = parse_boxes(payload)
-    if not boxes:
+    if not payload:
         return []
-    lines = _cluster_lines(boxes)
-    seg_lines = [_segments(ln) for ln in lines]
+    parsed = _parse_fast(payload)
+    if parsed is not None:
+        words, top, left, width = parsed
+        boxes = None
+    else:
+        boxes = parse_boxes(payload)
+        if not boxes:
+            return []
+        words = [b[0] for b in boxes]
+        top = np.array([b[1] for b in boxes])
+        left = np.array([b[2] for b in boxes])
+        width = np.array([b[3] for b in boxes])
+    n = len(words)
+    if n == 0:
+        return []
+    # reading order: stable (top, left, input-idx)
+    order = np.lexsort((np.arange(n), left, top))
+    lines: list[list[int]] = []
+    anchor = None
+    for i in order:
+        t = top[i]
+        if anchor is not None and t - anchor <= LINE_EPS:
+            lines[-1].append(i)
+        else:
+            lines.append([i])
+            anchor = t
+    seg_lines = []
+    for idxs in lines:
+        a = np.asarray(idxs)
+        pos = np.arange(len(a))
+        within = a[np.lexsort((pos, top[a], left[a]))]
+        l = left[within]
+        r = l + width[within]
+        segs = []
+        start_k = 0
+        for k in range(1, len(within)):
+            if l[k] - r[k - 1] >= GAP_MIN:
+                seg = within[start_k:k]
+                segs.append(
+                    {
+                        "text": " ".join(words[j] for j in seg),
+                        "start": l[start_k],
+                        "end": r[k - 1],
+                    }
+                )
+                start_k = k
+        seg = within[start_k:]
+        segs.append(
+            {
+                "text": " ".join(words[j] for j in seg),
+                "start": l[start_k],
+                "end": r[len(within) - 1],
+            }
+        )
+        seg_lines.append(segs)
     tabular = [len(s) >= 2 for s in seg_lines]
 
     out: list[tuple[str, str]] = []

@@ -202,13 +202,18 @@ def _pdf_branch(spans: DataFrame) -> DataFrame:
     return text_lines.unionByName(cells)
 
 
-def extract_spans(documents: DataFrame, salt: bool = True) -> DataFrame:
+def extract_spans(documents: DataFrame, salt: bool = False) -> DataFrame:
     """documents(doc_id, spans) → spans_out(doc_id, order, kind, text,
     media_ref), the driver-checked span sequence (FIXTURES.md §2).
 
     ``salt=True`` inserts the explicit salted repartition after the explode
     (plans/skew.py): heavy documents and fat input splits spread across the
-    cluster before any kernel work. Disable only for tiny in-memory inputs.
+    cluster before any kernel work. Measured: on a single-fat-file input it
+    is a 5x win (the scan stage otherwise serializes); on a well-laid-out
+    many-file input it costs one extra all-to-all of raw span text and
+    *hurts* scaling efficiency (0.86 -> 0.58 at 4-vs-16 cores). Default off;
+    turn on for skewed layouts (few giant files, multi-hundred-page docs
+    concentrated in few splits).
     """
     from pdftableextractor_spark.plans.skew import salted_repartition
 

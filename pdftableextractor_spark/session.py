@@ -25,13 +25,28 @@ def build_session(
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        # 4x cores: enough granularity for AQE to balance uneven partitions
+        # without starving any core (same rule of thumb as a real cluster)
+        .config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions or 4 * n)
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local inputs are small; the default 64m advisory size would let AQE
+        # coalesce post-shuffle stages below the core count
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # small-input locality: testdata files are tens of MB; the default
+        # 128m would hand a whole file to one task. Harmless at cluster
+        # scale (real inputs have many files); override via extra_conf.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        # local mode runs everything in the driver JVM; a small heap turns
+        # 32 threads of string/regex work into GC thrash (measured 5x)
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g")
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
