@@ -407,6 +407,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         synth_assets(_docs_str(s, d))
     ).select("asset_id", "kind", "n_bytes", "sha")
 
+    # ----- dynamic-schema export (P10 column union) -----
+    def q31(s, d):
+        from pdftableextractor_spark.operators.export import key_union_pivot
+
+        p = _t(s, d, "part")
+        m = F.map_filter(
+            F.create_map(
+                F.lit("Category"), F.col("p_brand"),
+                F.lit("Value 1"), F.col("p_type"),
+                F.lit("Value 2"),
+                F.when(
+                    F.col("p_size") > 25, F.col("p_size").cast("string")
+                ).otherwise(F.lit(None)),
+            ),
+            lambda k, v: v.isNotNull(),
+        )
+        return key_union_pivot(p.select(m.alias("data")))
+
+    q["q31_column_union"] = q31
+
     return q
 
 
@@ -866,6 +886,13 @@ WITH w AS (
 SELECT doc_id, md5(text) AS content_md5,
        array_to_string(hs[1:8], '') AS fingerprint
 FROM sh
+"""
+
+    o["q31_column_union"] = """
+SELECT p_brand AS "Category", p_type AS "Value 1",
+       CASE WHEN p_size > 25 THEN CAST(p_size AS VARCHAR) ELSE '' END
+         AS "Value 2"
+FROM part
 """
 
     o["q30_multimodal_meta"] = f"""
