@@ -185,26 +185,57 @@ def _kv_branch(spans: DataFrame) -> DataFrame:
 
 
 def _pdf_branch(spans: DataFrame) -> DataFrame:
+    """Layout-kernel expansion + the shared text filters, in ONE pass (a
+    union of two filters over the kernel output would run the Python kernel
+    twice)."""
     expanded = spans.select("doc_id", "offset", "text").mapInPandas(
         pdf_layout_kernel, schema=KERNEL_OUT_SCHEMA
     )
-    text_lines = _text_branch(
-        expanded.filter(F.col("kind") == "text")
-    )
-    cells = expanded.filter(F.col("kind") == "table_cell").select(
+    staged = expanded.select(
         "doc_id",
         "offset",
         "sub_idx",
         "kind",
-        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("text"),
         "media_ref",
+        F.when(
+            F.col("kind") == "text", normalize_text_col(F.col("text"))
+        )
+        .otherwise(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+        .alias("text"),
+        (
+            (F.col("kind") != "text")
+            | (
+                ~is_boilerplate_col(F.col("text"))
+                & ~is_footnote_col(F.col("text"))
+            )
+        ).alias("keep"),
     )
-    return text_lines.unionByName(cells)
+    return staged.filter(
+        F.col("keep") & ((F.col("kind") != "text") | (F.col("text") != ""))
+    ).select("doc_id", "offset", "sub_idx", "kind", "text", "media_ref")
+
+
+EMIT_T = "array<struct<sub_idx:int,kind:string,text:string,media_ref:string>>"
+
+
+def _emit(sub, kind, text, media):
+    return F.struct(
+        sub.cast("int").alias("sub_idx"),
+        kind.alias("kind"),
+        text.alias("text"),
+        media.alias("media_ref"),
+    )
 
 
 def extract_spans(documents: DataFrame, salt: bool = False) -> DataFrame:
     """documents(doc_id, spans) → spans_out(doc_id, order, kind, text,
     media_ref), the driver-checked span sequence (FIXTURES.md §2).
+
+    Single-pass design: one scan handles every span kind except 'pdf' via a
+    per-kind CASE that emits an array of output structs (a per-branch union
+    would scan the input once per kind — 6x the IO at the 100 TB design
+    point). The pdf layout kernel is the one extra scan (mapInPandas can't
+    share a projection with relational branches).
 
     ``salt=True`` inserts the explicit salted repartition after the explode
     (plans/skew.py): heavy documents and fat input splits spread across the
@@ -220,33 +251,154 @@ def extract_spans(documents: DataFrame, salt: bool = False) -> DataFrame:
     s = explode_spans(documents)
     if salt:
         s = salted_repartition(s, "doc_id", "offset")
-    zero = F.lit(0).cast("int").alias("sub_idx")
 
-    text = _text_branch(
-        s.filter(F.col("kind") == "text").select(
-            "doc_id", "offset", zero, "text"
-        )
+    # --- stage 1: parse table cells (null for other kinds) ---------------
+    cells = F.when(
+        F.col("kind") == "table",
+        F.filter(
+            F.transform(
+                F.split(F.col("text"), US),
+                lambda t: F.struct(
+                    F.regexp_extract(t, CELL_TAG_RE, 1)
+                    .try_cast("int")
+                    .alias("r"),
+                    F.regexp_extract(t, CELL_TAG_RE, 2)
+                    .try_cast("int")
+                    .alias("c"),
+                    F.regexp_replace(t, CELL_TAG_RE, "").alias("txt"),
+                ),
+            ),
+            lambda x: x["r"].isNotNull() & x["c"].isNotNull(),
+        ),
     )
-    media = s.filter(F.col("kind") == "media").select(
+    st1 = s.filter(F.col("kind") != "pdf").select(
+        "doc_id", "offset", "kind", "text", "media_ref", cells.alias("cells")
+    )
+
+    # --- stage 2: grid extent + cell map (separate Project: 'cells' is
+    # referenced three times and must not be inlined) ----------------------
+    st2 = st1.select(
         "doc_id",
         "offset",
-        zero,
-        F.lit("media").alias("kind"),
-        F.lit("").alias("text"),
+        "kind",
+        "text",
         "media_ref",
+        F.array_max(F.transform("cells", lambda x: x["r"])).alias("max_r"),
+        F.array_max(F.transform("cells", lambda x: x["c"])).alias("max_c"),
+        F.map_from_entries(
+            F.transform(
+                "cells",
+                lambda x: F.struct(
+                    F.concat_ws(":", x["r"], x["c"]).alias("k"),
+                    x["txt"].alias("v"),
+                ),
+            )
+        ).alias("m"),
     )
-    table = _table_branch(s.filter(F.col("kind") == "table")).drop(
-        "row_idx", "col_idx"
-    )
-    kv = _kv_branch(s.filter(F.col("kind") == "kv"))
-    pdf = _pdf_branch(s.filter(F.col("kind") == "pdf"))
 
-    unioned = (
-        text.unionByName(media)
-        .unionByName(table)
-        .unionByName(kv)
-        .unionByName(pdf)
+    # --- stage 3: dense row-major grid ------------------------------------
+    st3 = st2.select(
+        "doc_id",
+        "offset",
+        "kind",
+        "text",
+        "media_ref",
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.col("max_r")),
+                lambda r: F.transform(
+                    F.sequence(F.lit(0), F.col("max_c")),
+                    lambda c: F.coalesce(
+                        F.try_element_at(F.col("m"), F.concat_ws(":", r, c)),
+                        F.lit(""),
+                    ),
+                ),
+            )
+        ).alias("grid"),
     )
+
+    # --- stage 4: normalized text + kv parts -------------------------------
+    kv_parts = F.split(F.col("text"), US, 2)
+    st4 = st3.select(
+        "doc_id",
+        "offset",
+        "kind",
+        "media_ref",
+        "grid",
+        normalize_text_col(F.col("text")).alias("norm"),
+        (
+            ~is_boilerplate_col(F.col("text"))
+            & ~is_footnote_col(F.col("text"))
+        ).alias("keep_text"),
+        F.trim(F.get(kv_parts, 0)).alias("kv_k"),
+        F.trim(F.coalesce(F.get(kv_parts, 1), F.lit(""))).alias("kv_v"),
+    )
+
+    # --- stage 5: per-kind emission ----------------------------------------
+    empty = F.array().cast(EMIT_T)
+    emits = (
+        F.when(
+            F.col("kind") == "text",
+            F.when(
+                F.col("keep_text") & (F.col("norm") != ""),
+                F.array(
+                    _emit(F.lit(0), F.lit("text"), F.col("norm"), F.lit(""))
+                ),
+            ).otherwise(empty),
+        )
+        .when(
+            F.col("kind") == "media",
+            F.array(
+                _emit(F.lit(0), F.lit("media"), F.lit(""), F.col("media_ref"))
+            ),
+        )
+        .when(
+            F.col("kind") == "table",
+            F.coalesce(
+                F.transform(
+                    "grid",
+                    lambda cell, i: _emit(
+                        i,
+                        F.lit("table_cell"),
+                        F.trim(F.regexp_replace(cell, r"\s+", " ")),
+                        F.lit(""),
+                    ),
+                ),
+                empty,
+            ),
+        )
+        .when(
+            F.col("kind") == "kv",
+            F.when(
+                F.col("kv_k") != "",
+                F.array(
+                    _emit(
+                        F.lit(0),
+                        F.lit("kv"),
+                        F.concat_ws(": ", F.col("kv_k"), F.col("kv_v")),
+                        F.lit(""),
+                    )
+                ),
+            ).otherwise(empty),
+        )
+        .otherwise(empty)  # 'boiler' and unknown kinds
+    )
+    rows = (
+        st4.select("doc_id", "offset", emits.alias("emits"))
+        .select("doc_id", "offset", F.explode_outer("emits").alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select(
+            "doc_id",
+            "offset",
+            F.col("e.sub_idx").alias("sub_idx"),
+            F.col("e.kind").alias("kind"),
+            F.col("e.text").alias("text"),
+            F.col("e.media_ref").alias("media_ref"),
+        )
+    )
+
+    pdf = _pdf_branch(s.filter(F.col("kind") == "pdf"))
+    unioned = rows.unionByName(pdf)
     w = Window.partitionBy("doc_id").orderBy("offset", "sub_idx")
     return unioned.select(
         "doc_id",

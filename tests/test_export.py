@@ -51,8 +51,12 @@ def test_csv_roundtrip_quote_all(spark, tmp_path):
     )
     path = str(tmp_path / "csv")
     write_csv(df, path)
-    f = glob.glob(f"{path}/*.csv")[0]
-    with open(f, newline="") as fh:
-        rows = list(csv.reader(fh))
-    assert rows[0] == ["Category", "Value 1"]
-    assert rows[1] == ['He said "hi"', "a,b"]
+    headers, data = [], []
+    for f in sorted(glob.glob(f"{path}/part-*.csv")):
+        with open(f, newline="") as fh:
+            rows = list(csv.reader(fh))
+        if rows:
+            headers.append(rows[0])
+            data.extend(rows[1:])
+    assert all(h == ["Category", "Value 1"] for h in headers)
+    assert data == [['He said "hi"', "a,b"]]
