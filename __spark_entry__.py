@@ -195,8 +195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q07_sessionize"] = q07
 
     def q08(s, d):
+        # customers with no high-value order (non-empty at every SF; a plain
+        # customer-minus-orders anti-join is vacuously empty in this data)
         c = _t(s, d, "customer")
-        od = _t(s, d, "orders")
+        od = _t(s, d, "orders").filter(F.col("o_totalprice") > 400000)
         return c.join(
             od, c["c_custkey"] == od["o_custkey"], "left_anti"
         ).select("c_custkey", "c_name")
@@ -291,11 +293,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q13_pricing_summary"] = q13
 
-    q["q14_extract_numbers"] = lambda s, d: _docs_str(s, d).select(
-        "doc_id",
+    q["q14_extract_numbers"] = lambda s, d: _t(s, d, "events").select(
+        "event_id",
         F.explode(
             F.regexp_extract_all(
-                F.col("text"), F.lit(NUMERIC_FRAGMENT_RE), F.lit(0)
+                F.col("props"), F.lit(NUMERIC_FRAGMENT_RE), F.lit(0)
             )
         ).alias("num"),
     )
@@ -360,7 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     q["q23_embedding_near_dups"] = lambda s, d: embedding_near_dups(
-        _t(s, d, "embeddings"), block_col="label", threshold=0.8
+        _t(s, d, "embeddings"), block_col="label", threshold=0.35
     )
 
     # ----- similarity search -----
@@ -426,6 +428,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return key_union_pivot(p.select(m.alias("data")))
 
     q["q31_column_union"] = q31
+
+    # ----- relational surface: broadcast join pyramid, scalar subquery,
+    # rollup (the star-join shape every downstream analyst query takes) -----
+    def q32(s, d):
+        c = _t(s, d, "customer")
+        od = _t(s, d, "orders")
+        n = _t(s, d, "nation")
+        r = _t(s, d, "region")
+        # dims are tiny → broadcast; the fact-side join is the only shuffle
+        j = (
+            od.join(c, od["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        )
+        return j.groupBy("r_name").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(20,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("total_price"),
+        )
+
+    q["q32_star_join_agg"] = q32
+
+    def q33(s, d):
+        c = _t(s, d, "customer")
+        avg_bal = c.agg(
+            F.avg(F.col("c_acctbal").cast("decimal(20,6)")).alias("a")
+        )
+        return (
+            c.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("a").cast("double"))
+            .select("c_custkey", "c_name")
+        )
+
+    q["q33_above_avg_balance"] = q33
+
+    q["q34_rollup"] = lambda s, d: (
+        _t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast("double"),
+                4,
+            ).alias("qty"),
+        )
+    )
 
     return q
 
@@ -573,7 +625,9 @@ FROM s GROUP BY user_id, session_id
 
     o["q08_anti_join"] = """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
 """
 
     o["q09_top1_per_group"] = """
@@ -627,8 +681,9 @@ GROUP BY l_returnflag, l_linestatus
 """
 
     o["q14_extract_numbers"] = """
-SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(nums) AS num FROM (
-  SELECT doc_id, regexp_extract_all(text, '\\d+\\.?\\d*') AS nums FROM documents
+SELECT event_id, unnest(nums) AS num FROM (
+  SELECT event_id, regexp_extract_all(props, '\\d+\\.?\\d*') AS nums
+  FROM events
 )
 """
 
@@ -772,7 +827,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
 """
 
     o["q24_cosine_topk"] = """
@@ -893,6 +948,30 @@ SELECT p_brand AS "Category", p_type AS "Value 1",
        CASE WHEN p_size > 25 THEN CAST(p_size AS VARCHAR) ELSE '' END
          AS "Value 2"
 FROM part
+"""
+
+    o["q32_star_join_agg"] = """
+SELECT r_name, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE), 4)
+         AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+    o["q33_above_avg_balance"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_acctbal > (SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(20,6)))
+                               AS DOUBLE) FROM customer)
+"""
+
+    o["q34_rollup"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 4) AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
     o["q30_multimodal_meta"] = f"""
