@@ -265,7 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q13(s, d):
         li = _t(s, d, "lineitem").filter(
-            F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp")
+            F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp_ntz")
         )
         dec = lambda c: F.col(c).cast("decimal(20,6)")
         disc_price = (
