@@ -1,0 +1,111 @@
+"""spark-submit entrypoint: training-data curation over a documents corpus.
+
+    spark-submit --py-files engine.zip jobs/curate.py \
+        --input /root/testdata/sf0.1 --output /tmp/curated
+
+One pass over documents(doc_id, text, ...):
+  1. exact dedup          keep the lowest doc_id per md5(text)
+  2. near-dup removal     MinHash-LSH (trigram) pairs; drop the higher
+                          doc_id of every confirmed pair
+  3. quality gate         composite quality score >= --min-quality
+  4. language gate        marker-based lang-id in --langs (best-effort;
+                          'und' passes — absence of evidence isn't exclusion)
+  5. annotate             token counts + fingerprint on survivors
+
+Writes <output>/clean (curated corpus with stats columns) and prints a
+one-line JSON funnel summary. The funnel is the canonical shape of an LLM
+training-data pipeline; every stage is a JVM-side operator from
+operators/dedup.py / textstats.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="dir with documents.parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--min-quality", type=float, default=0.3)
+    p.add_argument("--near-dup-threshold", type=float, default=0.5)
+    p.add_argument("--langs", default="en,und")
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from pdftableextractor_spark.operators.dedup import (
+        exact_dedup,
+        minhash_near_dups,
+    )
+    from pdftableextractor_spark.operators.textstats import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+    from pdftableextractor_spark.session import build_session
+
+    spark = build_session(app_name="curate-job", master=args.master)
+    t0 = time.time()
+    docs = spark.read.parquet(f"{args.input}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    n0 = docs.count()
+
+    reps = exact_dedup(docs).select("doc_id")
+    # persist each funnel stage: the stage counts below would otherwise
+    # recompute the full upstream lineage (minhash included) per count
+    docs1 = docs.join(reps, "doc_id", "left_semi").persist()
+    n1 = docs1.count()
+
+    pairs = minhash_near_dups(
+        docs1, n=3, threshold=args.near_dup_threshold
+    )
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    docs2 = docs1.join(losers, "doc_id", "left_anti").persist()
+    n2 = docs2.count()
+
+    q = quality_score(docs2).select("doc_id", "quality")
+    docs3 = docs2.join(q, "doc_id").filter(
+        F.col("quality") >= args.min_quality
+    ).persist()
+    n3 = docs3.count()
+
+    langs = [x.strip() for x in args.langs.split(",") if x.strip()]
+    lid = lang_id(docs3.select("doc_id", "text")).select("doc_id", "lang_pred")
+    docs4 = docs3.join(lid, "doc_id").filter(
+        F.col("lang_pred").isin(langs)
+    ).persist()
+    n4 = docs4.count()
+
+    annotated = (
+        docs4.join(token_count(docs4.select("doc_id", "text")), "doc_id")
+        .join(
+            fingerprint(docs4.select("doc_id", "text")).select(
+                "doc_id", "content_md5", "fingerprint"
+            ),
+            "doc_id",
+        )
+    )
+    annotated.write.mode("overwrite").parquet(args.output + "/clean")
+    print(
+        json.dumps(
+            {
+                "input_docs": n0,
+                "after_exact_dedup": n1,
+                "after_near_dup": n2,
+                "after_quality": n3,
+                "after_lang": n4,
+                "sec": round(time.time() - t0, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
