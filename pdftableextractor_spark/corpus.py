@@ -151,10 +151,16 @@ def _pdf_payload(rng: random.Random) -> str:
     for _ in range(n_body_top):
         emit_line(_sentence(rng), y)
         y += 0.03
-    # table block
-    n_trows = rng.randint(2, 4)
+    # table block: half whitespace-gap only, half enclosed by ruled lines
+    # (single-row ruled tables only the rule signal can detect)
+    ruled = rng.random() < 0.5
+    n_trows = rng.randint(1, 4) if ruled else rng.randint(2, 4)
     n_tcols = rng.randint(2, 3)
     anchors = [0.08, 0.45, 0.75][:n_tcols]
+    if ruled:
+        records.append(
+            f"<hr>{US}{y - 0.012:.4f}{US}0.0500{US}0.8500{US}0.0020"
+        )
     for r in range(n_trows):
         yy = y + rng.uniform(-0.002, 0.002)
         for c, ax in enumerate(anchors):
@@ -171,6 +177,11 @@ def _pdf_payload(rng: random.Random) -> str:
                 )
                 x += wdt + 0.004
         y += 0.03
+    if ruled:
+        records.append(
+            f"<hr>{US}{y - 0.012:.4f}{US}0.0500{US}0.8500{US}0.0020"
+        )
+        y += 0.01
     # trailing body
     for _ in range(rng.randint(1, 3)):
         emit_line(_sentence(rng), y)

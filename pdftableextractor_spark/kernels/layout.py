@@ -19,6 +19,15 @@ Frozen constants (the corpus generator and golden fixtures depend on them):
   GAP_MIN       segment break when horizontal gap >= 0.05
   COL_MERGE_EPS x-intervals merging into one column when within 0.02
   MIN_TABLE_ROWS a run of >= 2 consecutive multi-segment lines is a table
+  RULE_MIN_W / RULE_MAX_H a box at least 0.3 wide and at most 0.004 tall is
+                a horizontal ruled line, not a word
+
+Table-region detection combines BOTH north_star signals:
+  ruled lines   lines enclosed between two consecutive rules form a table
+                whenever interval merging yields >= 2 columns — even a
+                single enclosed row (rules are strong evidence)
+  whitespace    outside ruled regions, a run of >= MIN_TABLE_ROWS
+                consecutive multi-segment lines is a table
 """
 
 from __future__ import annotations
@@ -34,6 +43,8 @@ LINE_EPS = 0.01
 GAP_MIN = 0.05
 COL_MERGE_EPS = 0.02
 MIN_TABLE_ROWS = 2
+RULE_MIN_W = 0.3
+RULE_MAX_H = 0.004
 
 KERNEL_OUT_SCHEMA = (
     "doc_id string, offset int, sub_idx int, kind string, "
@@ -82,10 +93,10 @@ def _assign_col(seg: dict, cols: list[tuple[float, float]]) -> int:
 
 
 def _parse_fast(payload: str):
-    """Vectorized parse: one split + three numpy float casts instead of
+    """Vectorized parse: one split + numpy float casts instead of
     per-record splits and per-field float() (the measured hot spot of the
     kernel). Falls back to the record-at-a-time parser on malformed input.
-    Returns (words list, top, left, width float arrays) or None."""
+    Returns (words list, top, left, width, height float arrays) or None."""
     fields = payload.replace(RS, US).split(US)
     if len(fields) % 5 != 0:
         return None
@@ -94,9 +105,10 @@ def _parse_fast(payload: str):
         top = np.asarray(fields[1::5], dtype=np.float64)
         left = np.asarray(fields[2::5], dtype=np.float64)
         width = np.asarray(fields[3::5], dtype=np.float64)
+        height = np.asarray(fields[4::5], dtype=np.float64)
     except ValueError:
         return None
-    return words, top, left, width
+    return words, top, left, width, height
 
 
 def layout_page(payload: str) -> list[tuple[str, str]]:
@@ -108,8 +120,7 @@ def layout_page(payload: str) -> list[tuple[str, str]]:
         return []
     parsed = _parse_fast(payload)
     if parsed is not None:
-        words, top, left, width = parsed
-        boxes = None
+        words, top, left, width, height = parsed
     else:
         boxes = parse_boxes(payload)
         if not boxes:
@@ -118,12 +129,24 @@ def layout_page(payload: str) -> list[tuple[str, str]]:
         top = np.array([b[1] for b in boxes])
         left = np.array([b[2] for b in boxes])
         width = np.array([b[3] for b in boxes])
+        height = np.array([b[4] for b in boxes])
+    if len(words) == 0:
+        return []
+
+    # horizontal ruled lines: wide, flat boxes — they partition the page
+    # vertically and never contribute text
+    is_rule = (width >= RULE_MIN_W) & (height <= RULE_MAX_H)
+    rule_tops = np.sort(top[is_rule])
+    keep = ~is_rule
+    words = [w for w, k in zip(words, keep) if k]
+    top, left, width = top[keep], left[keep], width[keep]
     n = len(words)
     if n == 0:
         return []
     # reading order: stable (top, left, input-idx)
     order = np.lexsort((np.arange(n), left, top))
     lines: list[list[int]] = []
+    line_anchor: list[float] = []
     anchor = None
     for i in order:
         t = top[i]
@@ -131,6 +154,7 @@ def layout_page(payload: str) -> list[tuple[str, str]]:
             lines[-1].append(i)
         else:
             lines.append([i])
+            line_anchor.append(t)
             anchor = t
     seg_lines = []
     for idxs in lines:
@@ -162,34 +186,64 @@ def layout_page(payload: str) -> list[tuple[str, str]]:
         )
         seg_lines.append(segs)
     tabular = [len(s) >= 2 for s in seg_lines]
+    # ruled-region id: index of the rule interval a line falls in;
+    # None when not strictly between two rules (bisect_right semantics)
+    region: list[int | None] = []
+    for t in line_anchor:
+        k = int(np.searchsorted(rule_tops, t, side="right"))
+        region.append(k if 0 < k < len(rule_tops) else None)
+
+    def _emit_table(group: list[list[dict]], out) -> None:
+        cols = _merge_columns(group)
+        for segs in group:
+            cells = [""] * len(cols)
+            for s in segs:
+                c = _assign_col(s, cols)
+                cells[c] = (cells[c] + " " + s["text"]).strip()
+            for cell in cells:
+                out.append(("table_cell", cell))
+
+    def _emit_text(k: int, out) -> None:
+        out.append(("text", " ".join(s["text"] for s in seg_lines[k])))
 
     out: list[tuple[str, str]] = []
     i = 0
     n = len(lines)
     while i < n:
-        if tabular[i]:
+        if region[i] is not None:
+            # ruled region: table whenever the merged intervals give >= 2
+            # columns, even for a single enclosed row
             j = i
-            while j < n and tabular[j]:
+            while j < n and region[j] == region[i]:
                 j += 1
-            if j - i >= MIN_TABLE_ROWS:
-                region = seg_lines[i:j]
-                cols = _merge_columns(region)
-                for segs in region:
-                    cells = [""] * len(cols)
-                    for s in segs:
-                        c = _assign_col(s, cols)
-                        cells[c] = (cells[c] + " " + s["text"]).strip()
-                    for cell in cells:
-                        out.append(("table_cell", cell))
-                i = j
-                continue
-            # single tabular line → plain text line
-            for k in range(i, j):
-                out.append(("text", " ".join(s["text"] for s in seg_lines[k])))
+            group = seg_lines[i:j]
+            if len(_merge_columns(group)) >= 2:
+                _emit_table(group, out)
+            else:
+                for k in range(i, j):
+                    _emit_text(k, out)
             i = j
-        else:
-            out.append(("text", " ".join(s["text"] for s in seg_lines[i])))
-            i += 1
+            continue
+        # unruled: whitespace-gap runs need >= MIN_TABLE_ROWS lines
+        j = i
+        while j < n and region[j] is None:
+            j += 1
+        k = i
+        while k < j:
+            if tabular[k]:
+                m = k
+                while m < j and tabular[m]:
+                    m += 1
+                if m - k >= MIN_TABLE_ROWS:
+                    _emit_table(seg_lines[k:m], out)
+                else:
+                    for kk in range(k, m):
+                        _emit_text(kk, out)
+                k = m
+            else:
+                _emit_text(k, out)
+                k += 1
+        i = j
     return out
 
 

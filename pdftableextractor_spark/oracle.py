@@ -16,6 +16,7 @@ import re
 
 US, RS = "\x1f", "\x1e"
 LINE_EPS, GAP_MIN, COL_MERGE_EPS, MIN_TABLE_ROWS = 0.01, 0.05, 0.02, 2
+RULE_MIN_W, RULE_MAX_H = 0.3, 0.004
 
 _FOOT_MARK = re.compile(
     r"^(?:\(\d+\)|\[\d+\]|\d+\.|\*+\s|note\s*\d*:|source:|see\s)", re.I
@@ -78,22 +79,32 @@ def _table_cells(payload: str) -> list[str]:
 
 
 def _pdf_lines(payload: str) -> list[tuple[str, str]]:
-    words = []
+    import bisect
+
+    words, rule_tops = [], []
     for rec in payload.split(RS) if payload else []:
         p = rec.split(US)
         if len(p) == 5:
-            words.append((p[0], float(p[1]), float(p[2]), float(p[3])))
+            w, top, left, width, height = (
+                p[0], float(p[1]), float(p[2]), float(p[3]), float(p[4]),
+            )
+            if width >= RULE_MIN_W and height <= RULE_MAX_H:
+                rule_tops.append(top)
+            else:
+                words.append((w, top, left, width))
+    rule_tops.sort()
     if not words:
         return []
     words = sorted(
         enumerate(words), key=lambda iw: (iw[1][1], iw[1][2], iw[0])
     )
-    lines, anchor = [], None
+    lines, anchors, anchor = [], [], None
     for _, (w, top, left, width) in words:
         if anchor is not None and top - anchor <= LINE_EPS:
             lines[-1].append((w, left, width))
         else:
             lines.append([(w, left, width)])
+            anchors.append(top)
             anchor = top
     lines = [sorted(ln, key=lambda x: x[1]) for ln in lines]
 
@@ -112,47 +123,78 @@ def _pdf_lines(payload: str) -> list[tuple[str, str]]:
             segs.append((" ".join(cur), start, end))
         seg_lines.append(segs)
 
+    def merged_cols(region):
+        ivals = sorted((s[1], s[2]) for segs in region for s in segs)
+        cols = []
+        for st, en in ivals:
+            if cols and st <= cols[-1][1] + COL_MERGE_EPS:
+                cols[-1][1] = max(cols[-1][1], en)
+            else:
+                cols.append([st, en])
+        return cols
+
+    def emit_table(region, out):
+        cols = merged_cols(region)
+        for segs in region:
+            cells = [""] * len(cols)
+            for text, st, en in segs:
+                ctr = (st + en) / 2
+                cj = None
+                for k, (cs, ce) in enumerate(cols):
+                    if cs - COL_MERGE_EPS <= ctr <= ce + COL_MERGE_EPS:
+                        cj = k
+                        break
+                if cj is None:
+                    cj = min(
+                        range(len(cols)),
+                        key=lambda k: min(
+                            abs(ctr - cols[k][0]), abs(ctr - cols[k][1])
+                        ),
+                    )
+                cells[cj] = (cells[cj] + " " + text).strip()
+            out.extend(("table_cell", c) for c in cells)
+
+    # ruled-region ids per line (None if not strictly between two rules)
+    region_ids = []
+    for t in anchors:
+        k = bisect.bisect_right(rule_tops, t)
+        region_ids.append(k if 0 < k < len(rule_tops) else None)
+
     out, i, n = [], 0, len(seg_lines)
     while i < n:
-        if len(seg_lines[i]) >= 2:
+        if region_ids[i] is not None:
             j = i
-            while j < n and len(seg_lines[j]) >= 2:
+            while j < n and region_ids[j] == region_ids[i]:
                 j += 1
-            if j - i >= MIN_TABLE_ROWS:
-                region = seg_lines[i:j]
-                ivals = sorted((s[1], s[2]) for segs in region for s in segs)
-                cols = []
-                for st, en in ivals:
-                    if cols and st <= cols[-1][1] + COL_MERGE_EPS:
-                        cols[-1][1] = max(cols[-1][1], en)
-                    else:
-                        cols.append([st, en])
-                for segs in region:
-                    cells = [""] * len(cols)
-                    for text, st, en in segs:
-                        ctr = (st + en) / 2
-                        cj = None
-                        for k, (cs, ce) in enumerate(cols):
-                            if cs - COL_MERGE_EPS <= ctr <= ce + COL_MERGE_EPS:
-                                cj = k
-                                break
-                        if cj is None:
-                            cj = min(
-                                range(len(cols)),
-                                key=lambda k: min(
-                                    abs(ctr - cols[k][0]), abs(ctr - cols[k][1])
-                                ),
-                            )
-                        cells[cj] = (cells[cj] + " " + text).strip()
-                    out.extend(("table_cell", c) for c in cells)
-                i = j
-                continue
-            for k in range(i, j):
-                out.append(("text", " ".join(s[0] for s in seg_lines[k])))
+            group = seg_lines[i:j]
+            if len(merged_cols(group)) >= 2:
+                emit_table(group, out)
+            else:
+                for k in range(i, j):
+                    out.append(("text", " ".join(s[0] for s in seg_lines[k])))
             i = j
-        else:
-            out.append(("text", " ".join(s[0] for s in seg_lines[i])))
-            i += 1
+            continue
+        j = i
+        while j < n and region_ids[j] is None:
+            j += 1
+        k = i
+        while k < j:
+            if len(seg_lines[k]) >= 2:
+                m = k
+                while m < j and len(seg_lines[m]) >= 2:
+                    m += 1
+                if m - k >= MIN_TABLE_ROWS:
+                    emit_table(seg_lines[k:m], out)
+                else:
+                    for kk in range(k, m):
+                        out.append(
+                            ("text", " ".join(s[0] for s in seg_lines[kk]))
+                        )
+                k = m
+            else:
+                out.append(("text", " ".join(s[0] for s in seg_lines[k])))
+                k += 1
+        i = j
     return out
 
 

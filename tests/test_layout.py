@@ -84,6 +84,51 @@ def test_single_segment_line_breaks_table_run():
     assert texts == ["$9", "beta $7"]
 
 
+def test_single_row_ruled_table_detected():
+    # a lone 2-column row would NOT be a whitespace table (run of 1), but
+    # enclosed between two rules it is
+    recs = [
+        ("<hr>", 0.08, 0.05, 0.85, 0.002),
+        ("alpha", 0.10, 0.10, 0.060, 0.012),
+        ("$5", 0.10, 0.60, 0.024, 0.012),
+        ("<hr>", 0.12, 0.05, 0.85, 0.002),
+        ("plain body line", 0.16, 0.10, 0.15, 0.012),
+    ]
+    out = layout_page(_page(recs))
+    assert out == [
+        ("table_cell", "alpha"),
+        ("table_cell", "$5"),
+        ("text", "plain body line"),
+    ]
+
+
+def test_ruled_region_single_column_stays_text():
+    recs = [
+        ("<hr>", 0.08, 0.05, 0.85, 0.002),
+        ("just one segment here", 0.10, 0.10, 0.20, 0.012),
+        ("<hr>", 0.12, 0.05, 0.85, 0.002),
+    ]
+    assert layout_page(_page(recs)) == [("text", "just one segment here")]
+
+
+def test_unruled_logic_unchanged_outside_rules():
+    recs = [
+        ("<hr>", 0.05, 0.05, 0.85, 0.002),
+        ("inside", 0.07, 0.10, 0.06, 0.012),
+        ("$1", 0.07, 0.60, 0.02, 0.012),
+        ("<hr>", 0.09, 0.05, 0.85, 0.002),
+        # below the rules: a lone tabular line → text (run of 1)
+        ("left", 0.20, 0.10, 0.04, 0.012),
+        ("right", 0.20, 0.60, 0.05, 0.012),
+    ]
+    out = layout_page(_page(recs))
+    assert out == [
+        ("table_cell", "inside"),
+        ("table_cell", "$1"),
+        ("text", "left right"),
+    ]
+
+
 def test_kernel_matches_oracle_on_generated_pages():
     rng_docs = corpus.gen_documents(40, seed=7)
     n_pages = 0
