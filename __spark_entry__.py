@@ -44,7 +44,11 @@ from pdftableextractor_spark.operators.dedup import (
     simhash_signatures,
 )
 from pdftableextractor_spark.operators.extract import extract_spans
-from pdftableextractor_spark.operators.similarity import cosine_topk, ivf_topk
+from pdftableextractor_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
 from pdftableextractor_spark.operators.structure import (
     chunk_lines,
     lexical_commentary,
@@ -378,6 +382,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["q25_ivf_topk"] = lambda s, d: ivf_topk(
         _t(s, d, "embeddings"), _qvec(s, d), k=10, nprobe=2
+    )
+    # rows-only: the hyperplane constants are float matrices, not worth
+    # embedding as SQL literals — recall is pinned by pytest instead
+    q["q35_lsh_topk"] = lambda s, d: lsh_topk(
+        _t(s, d, "embeddings"), _qvec(s, d), k=10
     )
 
     # ----- text analysis -----

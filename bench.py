@@ -233,8 +233,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf_name = sf_dir.rstrip("/").split("/")[-1]
-    default_synth = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}.get(
-        sf_name, 2000
+    default_synth = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 5000}.get(
+        sf_name, 5000
     )
     n_synth = args.synth_docs or default_synth
 

@@ -248,6 +248,11 @@ def extract_spans(documents: DataFrame, salt: bool = False) -> DataFrame:
     """
     from pdftableextractor_spark.plans.skew import salted_repartition
 
+    # duplicate (r,c) cells take the LAST value, like the reference's
+    # table_structure[row][col] assignment (textract_processor.py:287) —
+    # independent of the session's default map-key policy
+    documents.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+
     s = explode_spans(documents)
     if salt:
         s = salted_repartition(s, "doc_id", "offset")

@@ -61,6 +61,65 @@ def ivf_centroids(embeddings: DataFrame, cell_col: str = "label") -> DataFrame:
     )
 
 
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7):
+    """Deterministic random hyperplanes (md5-seeded, no global RNG)."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.md5(f"lsh:{seed}:{dim}:{n_planes}".encode()).digest()
+    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_col(emb_col, planes) -> object:
+    """Sign-bit bucket id from dot products with fixed hyperplanes — built
+    from aggregate/zip_with expressions (no UDF): bucket = Σ 2^i·[v·p_i > 0]."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: brute-force only the query's sign bucket.
+    With n_planes=4 a uniform corpus scans ~1/16 of the vectors; recall
+    falls for near-orthogonal neighbors — the standard LSH trade; multiple
+    rotated tables would recover it (one table here)."""
+    import numpy as np
+
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes)
+    qv = np.asarray(list(query_vec), dtype=np.float64)
+    q_bucket = int(sum((1 << i) for i, p in enumerate(planes) if p @ qv > 0))
+    q = _query_lit(query_vec)
+    cand = embeddings.withColumn(
+        "bucket", lsh_bucket_col(F.col("embedding"), planes)
+    ).filter(F.col("bucket") == q_bucket)
+    return (
+        cand.select(
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), q), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec,

@@ -118,3 +118,20 @@ def test_multimodal_plumbing(spark):
 
     with _pytest.raises(NotImplementedError):
         real_decode(b"abc", "image")
+
+
+def test_lsh_topk_contains_query_and_subsets_bruteforce(spark):
+    from pdftableextractor_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    got = [(r["vec_id"], r["cos"]) for r in lsh_topk(emb, q, k=10).collect()]
+    assert got, "query's own bucket must not be empty"
+    assert got[0][0] == 0 and abs(got[0][1] - 1.0) < 1e-6  # self is top-1
+    exact = {
+        r["vec_id"]: r["cos"]
+        for r in cosine_topk(emb, q, k=500).collect()
+    }
+    # every LSH result carries the exact cosine for its vec_id
+    for vid, c in got:
+        assert abs(exact[vid] - c) < 1e-6
