@@ -1,0 +1,63 @@
+"""Physical-plan assertions: the optimizer properties the engine's scale
+story depends on must not silently regress.
+
+These parse `.explain` output — brittle by nature, so each assertion targets
+a stable, load-bearing property: column pruning, filter pushdown, broadcast
+of small dims, and the extraction pipeline's scan/shuffle budget."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from pdftableextractor_spark.operators.extract import extract_spans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_pricing_summary_prunes_and_pushes(spark):
+    plan = _plan(em.queries()["q13_pricing_summary"](spark, SF))
+    scan = [l for l in plan.split("\n") if "FileScan parquet" in l][-1]
+    # column pruning: o_orderkey etc. absent; only the 7 needed columns
+    assert "l_shipdate" in scan and "l_orderkey" not in scan
+    # the shipdate filter reaches the scan
+    assert "l_shipdate" in plan.split("DataFilters")[1].split("]")[0]
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(em.queries()["q32_star_join_agg"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+
+
+def test_extract_reads_two_scans_one_shuffle(spark):
+    docs = spark.createDataFrame(
+        [("d1", [("text", "Hello world.", "", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    plan = _plan(extract_spans(docs))
+    # budget: ONE shuffle (the per-doc ordering window); the pdf branch and
+    # the relational branch each contribute one source scan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"extraction shuffle budget exceeded: {n_exchanges}"
+
+
+def test_extract_scan_budget_on_parquet(spark, tmp_path):
+    from pdftableextractor_spark import corpus
+
+    p = str(tmp_path / "c.parquet")
+    corpus.write_corpus_parquet(p, 5, seed=3)
+    plan = _plan(extract_spans(spark.read.parquet(p)))
+    assert plan.count("FileScan parquet") == 2  # relational pass + pdf pass
+
+
+def test_documents_filter_pushdown(spark):
+    plan = _plan(em.queries()["q02_substantial_filter"](spark, SF))
+    scan = [l for l in plan.split("\n") if "FileScan parquet" in l][-1]
+    assert "n_chars" in scan  # filter travelled into the scan's DataFilters
+    assert "lang" not in scan  # unused columns pruned
