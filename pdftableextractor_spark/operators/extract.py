@@ -52,15 +52,24 @@ CELL_TAG_RE = r"^r(\d+)c(\d+):"
 
 
 def explode_spans(documents: DataFrame) -> DataFrame:
-    """documents(doc_id, spans) → one row per span."""
-    return documents.select(
-        "doc_id", F.explode("spans").alias("span")
-    ).select(
-        "doc_id",
-        F.col("span.offset").alias("offset"),
-        F.col("span.kind").alias("kind"),
-        F.col("span.text").alias("text"),
-        F.col("span.media_ref").alias("media_ref"),
+    """documents(doc_id, spans) → one row per span.
+
+    explode_outer on purpose: plain explode adds an implicit
+    `size(spans) > 0` predicate that Catalyst pushes into the scan with the
+    whole spans-producing expression inlined — when the input is a derived
+    column (e.g. the interleave adapter) that doubles the most expensive
+    projection in the plan. The outer variant emits a null row for an empty
+    array instead; filter it."""
+    return (
+        documents.select("doc_id", F.explode_outer("spans").alias("span"))
+        .filter(F.col("span").isNotNull())
+        .select(
+            "doc_id",
+            F.col("span.offset").alias("offset"),
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+        )
     )
 
 
