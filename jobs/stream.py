@@ -1,0 +1,55 @@
+"""spark-submit entrypoint: streaming extraction over an arriving corpus.
+
+    spark-submit --py-files engine.zip jobs/stream.py \
+        --input /data/incoming_docs --output /data/spans \
+        --checkpoint /data/ckpt [--dedup-output /data/uniq]
+
+Runs the extraction stream with AvailableNow (catch-up) semantics: process
+everything that has arrived, then exit — rerun on a schedule or keep a
+continuous trigger on a cluster. Optionally chains the stateful cross-batch
+exact dedup stream over the flat text table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--dedup-output", default=None)
+    p.add_argument("--dedup-checkpoint", default=None)
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    from pdftableextractor_spark.session import build_session
+    from pdftableextractor_spark.streaming.stream import stream_extract
+
+    spark = build_session(app_name="stream-job", master=args.master)
+    stream_extract(spark, args.input, args.output, args.checkpoint)
+    n = spark.read.parquet(args.output).count()
+    summary = {"spans_total": n}
+
+    if args.dedup_output:
+        from pdftableextractor_spark.streaming.stateful import (
+            stream_exact_dedup,
+        )
+
+        stream_exact_dedup(
+            spark,
+            args.input,
+            args.dedup_output,
+            args.dedup_checkpoint or args.checkpoint + "_dedup",
+        )
+        summary["unique_docs"] = spark.read.parquet(args.dedup_output).count()
+
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
