@@ -62,7 +62,10 @@ def parse_boxes(payload: str) -> list[tuple[str, float, float, float, float]]:
         if len(parts) != 5:
             continue
         w, t, l, wd, h = parts
-        boxes.append((w, float(t), float(l), float(wd), float(h)))
+        try:
+            boxes.append((w, float(t), float(l), float(wd), float(h)))
+        except ValueError:
+            continue  # unparseable geometry → skip the record
     return boxes
 
 
@@ -97,6 +100,11 @@ def _parse_fast(payload: str):
     per-record splits and per-field float() (the measured hot spot of the
     kernel). Falls back to the record-at-a-time parser on malformed input.
     Returns (words list, top, left, width, height float arrays) or None."""
+    # validate per-record shape first (C-speed): a 6-field and a 4-field
+    # record can sum to %5==0 and silently misalign the strided slices
+    recs = np.array(payload.split(RS))
+    if not (np.char.count(recs, US) == 4).all():
+        return None
     fields = payload.replace(RS, US).split(US)
     if len(fields) % 5 != 0:
         return None

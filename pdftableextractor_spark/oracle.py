@@ -18,27 +18,43 @@ US, RS = "\x1f", "\x1e"
 LINE_EPS, GAP_MIN, COL_MERGE_EPS, MIN_TABLE_ROWS = 0.01, 0.05, 0.02, 2
 RULE_MIN_W, RULE_MAX_H = 0.3, 0.004
 
+# Java-regex semantics on purpose: \s/\d are ASCII-only in Spark, and
+# F.trim strips ASCII spaces only — the oracle must not use Python's
+# Unicode-aware \s/\d/str.strip()/str.split() (found by hypothesis fuzzing
+# with U+00A0 and Arabic-Indic digits).
+_WS = r"[ \t\n\x0b\f\r]"
 _FOOT_MARK = re.compile(
-    r"^(?:\(\d+\)|\[\d+\]|\d+\.|\*+\s|note\s*\d*:|source:|see\s)", re.I
+    r"^(?:\(\d+\)|\[\d+\]|\d+\.|\*+\s|note\s*\d*:|source:|see\s)",
+    re.I | re.ASCII,
 )
 _KEYWORDS = (
     "note", "source", "see", "reference", "pursuant", "accordance",
     "disclaimer", "based on", "refers to", "includes", "excludes",
 )
-_SECTION = re.compile(r"\b(?:page|section|chapter|exhibit|appendix)\s+\d+")
+_SECTION = re.compile(
+    r"\b(?:page|section|chapter|exhibit|appendix)\s+\d+", re.ASCII
+)
+
+
+def _trim(s: str) -> str:
+    return s.strip(" ")
+
+
+def _collapse_ws(s: str) -> str:
+    return _trim(re.sub(_WS + "+", " ", s))
 
 
 def normalize(text: str) -> str:
     t = re.sub(r"[⁰¹²³⁴⁵⁶⁷⁸⁹]+", "", text)
-    t = re.sub(r"\(\d+\)", "", t)
-    t = re.sub(r"\[\d+\]", "", t)
+    t = re.sub(r"\([0-9]+\)", "", t)
+    t = re.sub(r"\[[0-9]+\]", "", t)
     t = re.sub(r"\*+", "", t)
-    t = " ".join(t.split())
-    return "" if re.fullmatch(r"\d+", t) else t
+    t = _collapse_ws(t)
+    return "" if re.fullmatch(r"[0-9]+", t) else t
 
 
 def is_footnote(line: str) -> bool:
-    s = line.strip()
+    s = _trim(line)
     m = _FOOT_MARK.match(s)
     if not m:
         return False
@@ -49,7 +65,7 @@ def is_footnote(line: str) -> bool:
 
 
 def is_boiler(line: str) -> bool:
-    s = line.strip()
+    s = _trim(line)
     if s.count("|") >= 2 or s.startswith("©"):
         return True
     return s.lower() in (
@@ -59,7 +75,7 @@ def is_boiler(line: str) -> bool:
 
 
 def _table_cells(payload: str) -> list[str]:
-    tag = re.compile(r"^r(\d+)c(\d+):")
+    tag = re.compile(r"^r([0-9]+)c([0-9]+):")
     parsed = {}
     max_r = max_c = -1
     for tok in payload.split(US):
@@ -74,7 +90,7 @@ def _table_cells(payload: str) -> list[str]:
     out = []
     for r in range(max_r + 1):
         for c in range(max_c + 1):
-            out.append(" ".join(parsed.get((r, c), "").split()))
+            out.append(_collapse_ws(parsed.get((r, c), "")))
     return out
 
 
@@ -85,9 +101,12 @@ def _pdf_lines(payload: str) -> list[tuple[str, str]]:
     for rec in payload.split(RS) if payload else []:
         p = rec.split(US)
         if len(p) == 5:
-            w, top, left, width, height = (
-                p[0], float(p[1]), float(p[2]), float(p[3]), float(p[4]),
-            )
+            try:
+                w, top, left, width, height = (
+                    p[0], float(p[1]), float(p[2]), float(p[3]), float(p[4]),
+                )
+            except ValueError:
+                continue  # unparseable geometry → skip the record
             if width >= RULE_MIN_W and height <= RULE_MAX_H:
                 rule_tops.append(top)
             else:
@@ -218,8 +237,8 @@ def extract_document(doc: dict) -> list[dict]:
                 emitted.append((off, sub, "table_cell", cell, ""))
         elif kind == "kv":
             parts = text.split(US, 1)
-            k = parts[0].strip()
-            v = parts[1].strip() if len(parts) > 1 else ""
+            k = _trim(parts[0])
+            v = _trim(parts[1]) if len(parts) > 1 else ""
             if k:
                 emitted.append((off, 0, "kv", f"{k}: {v}", ""))
         elif kind == "pdf":
@@ -233,7 +252,7 @@ def extract_document(doc: dict) -> list[dict]:
                     emitted.append((off, sub, "text", t2, ""))
                 else:
                     emitted.append(
-                        (off, sub, "table_cell", " ".join(t2.split()), "")
+                        (off, sub, "table_cell", _collapse_ws(t2), "")
                     )
     emitted.sort(key=lambda e: (e[0], e[1]))
     return [

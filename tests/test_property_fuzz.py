@@ -1,0 +1,107 @@
+"""Property-based fuzz: pipeline == oracle on adversarial inputs the corpus
+generator would never emit (regex metacharacters, stray separators,
+malformed table/kv/pdf payloads, unicode)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdftableextractor_spark import oracle
+from pdftableextractor_spark.kernels.layout import layout_page
+from pdftableextractor_spark.operators.extract import extract_spans
+from pdftableextractor_spark.types import RS, US
+
+TEXTY = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",), blacklist_characters="\x1e\x1f"
+    ),
+    max_size=60,
+)
+WORDISH = st.text(
+    alphabet=st.characters(
+        min_codepoint=33, max_codepoint=0x2FF, blacklist_characters="\x1e\x1f"
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _span(kind, text, media="", offset=0):
+    return {"kind": kind, "text": text, "media_ref": media, "offset": offset}
+
+
+@st.composite
+def documents(draw):
+    spans = []
+    n = draw(st.integers(1, 8))
+    for off in range(n):
+        kind = draw(
+            st.sampled_from(["text", "boiler", "table", "kv", "media", "junk"])
+        )
+        if kind == "table":
+            toks = draw(
+                st.lists(
+                    st.one_of(
+                        st.builds(
+                            lambda r, c, t: f"r{r}c{c}:{t}",
+                            st.integers(0, 3),
+                            st.integers(0, 3),
+                            TEXTY,
+                        ),
+                        TEXTY,  # malformed token
+                    ),
+                    max_size=6,
+                )
+            )
+            text = US.join(toks)
+        elif kind == "kv":
+            parts = draw(st.lists(TEXTY, min_size=1, max_size=3))
+            text = US.join(parts)
+        elif kind == "media":
+            text = ""
+        else:
+            text = draw(TEXTY)
+        media = "m-1" if kind == "media" else ""
+        spans.append(_span(kind, text, media, off))
+    return {"doc_id": "fuzz-0", "spans": spans}
+
+
+@st.composite
+def pdf_payloads(draw):
+    recs = []
+    for _ in range(draw(st.integers(0, 12))):
+        if draw(st.booleans()):
+            w = draw(WORDISH)
+            vals = [draw(st.floats(0, 1, allow_nan=False)) for _ in range(4)]
+            recs.append(US.join([w] + [f"{v:.4f}" for v in vals]))
+        else:  # malformed record: wrong field count
+            recs.append(US.join(draw(st.lists(WORDISH, min_size=1, max_size=7))))
+    return RS.join(recs)
+
+
+@settings(max_examples=15, deadline=None)
+@given(docs=st.lists(documents(), min_size=1, max_size=4))
+def test_pipeline_matches_oracle_on_fuzzed_docs(spark, docs):
+    for i, d in enumerate(docs):
+        d["doc_id"] = f"fuzz-{i}"
+    sdf = spark.createDataFrame(
+        [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = sorted(
+        (r["doc_id"], r["order"], r["kind"], r["text"], r["media_ref"])
+        for r in extract_spans(sdf).collect()
+    )
+    exp = sorted(
+        (r["doc_id"], r["order"], r["kind"], r["text"], r["media_ref"])
+        for r in oracle.extract_corpus(docs)
+    )
+    assert got == exp
+
+
+@settings(max_examples=50, deadline=None)
+@given(payload=pdf_payloads())
+def test_layout_kernel_matches_oracle_on_fuzzed_pages(payload):
+    assert layout_page(payload) == oracle._pdf_lines(payload)
