@@ -312,22 +312,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     def q16(s, d):
+        # one data point per doc whose value is a prefix of its own text →
+        # the scorer must find it (substring match, +10) and attach the
+        # −1/+3 context window; exercises scoring, argmax and truncation on
+        # every row (regex fact extraction finds nothing in this corpus's
+        # synthetic prose, which would make the check vacuous)
         docs = _docs_str(s, d)
         lines = _sentence_lines(docs)
-        pts = (
-            text_fact_points(
-                lines.select("doc_id", F.col("line_no").alias("offset"), "text")
-            )
-            .withColumn(
-                "point_id",
-                F.row_number()
-                .over(Window.partitionBy("doc_id").orderBy("offset", "seq", "field"))
-                .cast("int"),
-            )
-            .select("doc_id", "point_id", "field", "value")
+        pts = docs.select(
+            "doc_id",
+            F.lit(0).cast("int").alias("point_id"),
+            F.lit("content sample").alias("field"),
+            F.substring(F.col("text"), 1, 20).alias("value"),
         )
         return lexical_commentary(pts, lines).select(
-            "doc_id", "point_id", F.col("score").cast("bigint").alias("score")
+            "doc_id",
+            "point_id",
+            F.col("line_no").cast("bigint").alias("line_no"),
+            F.col("score").cast("bigint").alias("score"),
+            "commentary",
         )
 
     q["q16_lexical_commentary"] = q16
