@@ -27,8 +27,10 @@ from pdftableextractor_spark.corpus import (
 )
 from pdftableextractor_spark.functions.strings import (
     FOOTNOTE_MARKER_RE,
+    FOOTNOTE_REF_RE,
     NUMERIC_FRAGMENT_RE,
     SECTION_REF_RE,
+    has_footnote_refs_col,
     is_footnote_col,
     normalize_text_col,
     normalize_text_sql,
@@ -133,9 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.select(
             "doc_id",
             is_footnote_col(F.col("text")).alias("is_footnote"),
-            F.trim(F.col("text"))
-            .rlike(r"[\(\[]\d+[\)\]]|\*+(\s|$)")
-            .alias("has_refs"),
+            has_footnote_refs_col(F.col("text")).alias("has_refs"),
         )
 
     q["q03_footnote_flags"] = q03
@@ -788,7 +788,9 @@ WITH sh AS (
 ), ex AS (
   SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
 ), hx AS (
-  SELECT doc_id, {h0} AS h0 FROM ex
+  -- s <> '' mirrors the engine's empty-token filter (exploded_shingles):
+  -- an all-whitespace document must be absent from BOTH sides
+  SELECT doc_id, {h0} AS h0 FROM ex WHERE s <> ''
 ), seeds(i, a, b) AS (
   VALUES {seed_rows}
 ), mins AS (

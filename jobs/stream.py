@@ -39,11 +39,19 @@ def main() -> None:
             stream_exact_dedup,
         )
 
+        # the input is documents(doc_id, spans) — hash the serialized spans
+        # (a flat 'text' schema would read all-NULL and collapse every doc
+        # into one hash group)
         stream_exact_dedup(
             spark,
             args.input,
             args.dedup_output,
             args.dedup_checkpoint or args.checkpoint + "_dedup",
+            schema=(
+                "doc_id string, spans array<struct<kind:string,text:string,"
+                "media_ref:string,offset:int>>"
+            ),
+            content_col="spans",
         )
         summary["unique_docs"] = spark.read.parquet(args.dedup_output).count()
 

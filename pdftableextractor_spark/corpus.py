@@ -270,6 +270,15 @@ def write_corpus_parquet(
             }
         )
 
+    # idempotent: clear any previous corpus at this path (a smaller rerun
+    # must not leave stale part files; a file→directory switch must not
+    # crash os.makedirs)
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
     if n_docs <= docs_per_file:
         pq.write_table(_table(gen_documents(n_docs, seed)), path,
                        row_group_size=64)

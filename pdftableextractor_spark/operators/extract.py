@@ -92,16 +92,12 @@ def _text_branch(spans: DataFrame) -> DataFrame:
     )
 
 
-def _table_branch(spans: DataFrame) -> DataFrame:
-    """Serialized 'r{r}c{c}:text' grids → dense row-major cells.
-
-    Pure higher-order SQL functions, span-local (no shuffle): parse cells,
-    take the max row/col extent, build a (r:c → text) map, then emit the
-    dense grid with '' fill — the same dense-fill semantics as the
-    reference's grid reconstruction (textract_processor.py:271-297)."""
-    cells = F.filter(
+def _cells_col(text_col):
+    """Parse a serialized 'r{r}c{c}:text' payload into an array of
+    (r, c, txt) structs, dropping malformed tokens (null-safe under ANSI)."""
+    return F.filter(
         F.transform(
-            F.split(F.col("text"), US),
+            F.split(text_col, US),
             lambda t: F.struct(
                 F.regexp_extract(t, CELL_TAG_RE, 1).try_cast("int").alias("r"),
                 F.regexp_extract(t, CELL_TAG_RE, 2).try_cast("int").alias("c"),
@@ -110,12 +106,14 @@ def _table_branch(spans: DataFrame) -> DataFrame:
         ),
         lambda x: x["r"].isNotNull() & x["c"].isNotNull(),
     )
-    parsed = spans.select(
-        "doc_id", "offset", cells.alias("cells")
-    ).filter(F.size("cells") > 0)
-    grid = parsed.select(
-        "doc_id",
-        "offset",
+
+
+def _grid_extent_cols():
+    """max_r / max_c / (r:c → text) map over a 'cells' column. Kept as a
+    separate projection stage so the thrice-referenced 'cells' expression is
+    never inlined (duplicate keys take the LAST value — set mapKeyDedupPolicy
+    LAST_WIN before use, textract_processor.py:287 semantics)."""
+    return [
         F.array_max(F.transform("cells", lambda x: x["r"])).alias("max_r"),
         F.array_max(F.transform("cells", lambda x: x["c"])).alias("max_c"),
         F.map_from_entries(
@@ -127,26 +125,42 @@ def _table_branch(spans: DataFrame) -> DataFrame:
                 ),
             )
         ).alias("m"),
-    )
-    dense = grid.select(
-        "doc_id",
-        "offset",
-        "max_c",
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.col("max_r")),
-                lambda r: F.transform(
-                    F.sequence(F.lit(0), F.col("max_c")),
-                    lambda c: F.coalesce(
-                        F.try_element_at(
-                            F.col("m"), F.concat_ws(":", r, c)
-                        ),
-                        F.lit(""),
-                    ),
+    ]
+
+
+def _dense_grid_col():
+    """Dense row-major grid with '' fill from (max_r, max_c, m) columns —
+    the reference's grid reconstruction (textract_processor.py:271-297)."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.col("max_r")),
+            lambda r: F.transform(
+                F.sequence(F.lit(0), F.col("max_c")),
+                lambda c: F.coalesce(
+                    F.try_element_at(F.col("m"), F.concat_ws(":", r, c)),
+                    F.lit(""),
                 ),
-            )
-        ).alias("grid"),
-    )
+            ),
+        )
+    ).alias("grid")
+
+
+def _ws_norm(col):
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def _table_branch(spans: DataFrame) -> DataFrame:
+    """Serialized grids → dense row-major cells with (row_idx, col_idx).
+
+    Pure higher-order SQL functions, span-local (no shuffle). Used by
+    ``extract_frames``; ``extract_spans`` inlines the same _cells/_grid
+    builders into its single-pass CASE plan."""
+    spans.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    parsed = spans.select(
+        "doc_id", "offset", _cells_col(F.col("text")).alias("cells")
+    ).filter(F.size("cells") > 0)
+    grid = parsed.select("doc_id", "offset", *_grid_extent_cols())
+    dense = grid.select("doc_id", "offset", "max_c", _dense_grid_col())
     # posexplode_outer on purpose: plain posexplode makes Catalyst push its
     # implicit `size(grid) > 0` predicate below the repartition Exchange with
     # the WHOLE dense-grid expression inlined into the filter — the cell map
@@ -167,7 +181,7 @@ def _table_branch(spans: DataFrame) -> DataFrame:
         .alias("row_idx"),
         (F.col("sub_idx") % (F.col("max_c") + 1)).cast("int").alias("col_idx"),
         F.lit("table_cell").alias("kind"),
-        F.trim(F.regexp_replace(F.col("cell"), r"\s+", " ")).alias("text"),
+        _ws_norm(F.col("cell")).alias("text"),
         F.lit("").alias("media_ref"),
     )
 
@@ -267,68 +281,26 @@ def extract_spans(documents: DataFrame, salt: bool = False) -> DataFrame:
         s = salted_repartition(s, "doc_id", "offset")
 
     # --- stage 1: parse table cells (null for other kinds) ---------------
-    cells = F.when(
-        F.col("kind") == "table",
-        F.filter(
-            F.transform(
-                F.split(F.col("text"), US),
-                lambda t: F.struct(
-                    F.regexp_extract(t, CELL_TAG_RE, 1)
-                    .try_cast("int")
-                    .alias("r"),
-                    F.regexp_extract(t, CELL_TAG_RE, 2)
-                    .try_cast("int")
-                    .alias("c"),
-                    F.regexp_replace(t, CELL_TAG_RE, "").alias("txt"),
-                ),
-            ),
-            lambda x: x["r"].isNotNull() & x["c"].isNotNull(),
-        ),
-    )
     st1 = s.filter(F.col("kind") != "pdf").select(
-        "doc_id", "offset", "kind", "text", "media_ref", cells.alias("cells")
+        "doc_id",
+        "offset",
+        "kind",
+        "text",
+        "media_ref",
+        F.when(F.col("kind") == "table", _cells_col(F.col("text"))).alias(
+            "cells"
+        ),
     )
 
     # --- stage 2: grid extent + cell map (separate Project: 'cells' is
     # referenced three times and must not be inlined) ----------------------
     st2 = st1.select(
-        "doc_id",
-        "offset",
-        "kind",
-        "text",
-        "media_ref",
-        F.array_max(F.transform("cells", lambda x: x["r"])).alias("max_r"),
-        F.array_max(F.transform("cells", lambda x: x["c"])).alias("max_c"),
-        F.map_from_entries(
-            F.transform(
-                "cells",
-                lambda x: F.struct(
-                    F.concat_ws(":", x["r"], x["c"]).alias("k"),
-                    x["txt"].alias("v"),
-                ),
-            )
-        ).alias("m"),
+        "doc_id", "offset", "kind", "text", "media_ref", *_grid_extent_cols()
     )
 
     # --- stage 3: dense row-major grid ------------------------------------
     st3 = st2.select(
-        "doc_id",
-        "offset",
-        "kind",
-        "text",
-        "media_ref",
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.col("max_r")),
-                lambda r: F.transform(
-                    F.sequence(F.lit(0), F.col("max_c")),
-                    lambda c: F.coalesce(
-                        F.try_element_at(F.col("m"), F.concat_ws(":", r, c)),
-                        F.lit(""),
-                    ),
-                ),
-            )
-        ).alias("grid"),
+        "doc_id", "offset", "kind", "text", "media_ref", _dense_grid_col()
     )
 
     # --- stage 4: normalized text + kv parts -------------------------------
@@ -372,10 +344,7 @@ def extract_spans(documents: DataFrame, salt: bool = False) -> DataFrame:
                 F.transform(
                     "grid",
                     lambda cell, i: _emit(
-                        i,
-                        F.lit("table_cell"),
-                        F.trim(F.regexp_replace(cell, r"\s+", " ")),
-                        F.lit(""),
+                        i, F.lit("table_cell"), _ws_norm(cell), F.lit("")
                     ),
                 ),
                 empty,

@@ -50,13 +50,23 @@ def stream_exact_dedup(
     output_dir: str,
     checkpoint_dir: str,
     schema: str = "doc_id string, text string",
+    content_col: str = "text",
     available_now: bool = True,
 ):
     """Streaming first-wins exact dedup: emits (content_hash, doc_id) once
-    per distinct text content across the whole stream lifetime."""
+    per distinct content across the whole stream lifetime.
+
+    ``schema``/``content_col`` must match the actual input files — reading a
+    nested documents(doc_id, spans) directory requires the spans schema and
+    a serialized content column (see jobs/stream.py), otherwise parquet
+    fills a missing column with NULLs and every row hashes identically.
+    """
     src = spark.readStream.schema(schema).parquet(input_dir)
+    content = F.col(content_col)
+    if dict(src.dtypes)[content_col] != "string":
+        content = F.to_json(content)
     hashed = src.select(
-        F.md5(F.col("text")).alias("content_hash"), F.col("doc_id")
+        F.md5(content).alias("content_hash"), F.col("doc_id")
     )
     deduped = hashed.groupBy("content_hash").applyInPandasWithState(
         _first_wins,
