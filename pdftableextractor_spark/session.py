@@ -49,6 +49,13 @@ def build_session(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR",
+                os.path.join(os.getcwd(), "_artifacts", "spark-warehouse"),
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

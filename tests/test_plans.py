@@ -61,3 +61,42 @@ def test_documents_filter_pushdown(spark):
     scan = [l for l in plan.split("\n") if "FileScan parquet" in l][-1]
     assert "n_chars" in scan  # filter travelled into the scan's DataFilters
     assert "lang" not in scan  # unused columns pruned
+
+
+def test_bucketed_join_eliminates_exchanges(spark, tmp_path):
+    from pdftableextractor_spark.plans.bucketing import (
+        bucketed_join,
+        count_exchanges,
+        write_bucketed,
+    )
+
+    # force a shuffle-shaped join so the bucket co-location (not broadcast)
+    # is what eliminates the exchanges
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.sql("DROP TABLE IF EXISTS t_docs_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_stats_bkt")
+        docs = spark.range(0, 500).select(
+            F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+            (F.col("id") % 97).alias("x"),
+        )
+        stats = docs.select("doc_id", (F.col("x") * 2).alias("y"))
+        write_bucketed(docs, "t_docs_bkt", n_buckets=8)
+        write_bucketed(stats, "t_stats_bkt", n_buckets=8)
+        joined = bucketed_join(spark, "t_docs_bkt", "t_stats_bkt")
+        assert joined.count() == 500
+        # co-located SortMergeJoin: no shuffle on either side
+        assert count_exchanges(joined) == 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+        # control: the same join on plain (non-bucketed) frames shuffles
+        plain = docs.join(stats.withColumnRenamed("y", "y2"), "doc_id")
+        plain.count()
+        assert count_exchanges(plain) >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_docs_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_stats_bkt")
