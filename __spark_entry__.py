@@ -26,10 +26,7 @@ from pdftableextractor_spark.corpus import (
     interleave_flat_documents,
 )
 from pdftableextractor_spark.functions.strings import (
-    FOOTNOTE_MARKER_RE,
-    FOOTNOTE_REF_RE,
     NUMERIC_FRAGMENT_RE,
-    SECTION_REF_RE,
     has_footnote_refs_col,
     is_footnote_col,
     normalize_text_col,
@@ -54,7 +51,6 @@ from pdftableextractor_spark.operators.similarity import (
 from pdftableextractor_spark.operators.structure import (
     chunk_lines,
     lexical_commentary,
-    text_fact_points,
 )
 from pdftableextractor_spark.operators.multimodal import (
     extract_features,

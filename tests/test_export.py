@@ -6,8 +6,6 @@ from __future__ import annotations
 import csv
 import glob
 
-from pyspark.sql import functions as F
-
 from pdftableextractor_spark.operators.export import (
     key_union_pivot,
     union_keys,

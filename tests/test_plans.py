@@ -7,7 +7,6 @@ of small dims, and the extraction pipeline's scan/shuffle budget."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as em
