@@ -124,29 +124,38 @@ def text_fact_points(lines: DataFrame) -> DataFrame:
     """text spans (doc_id, offset, text) → one row per extracted fact.
 
     Deterministic analog of the chunk-tabulation LLM call (X4): regex
-    extraction of currency/percent/date facts, exploded per match.
-    """
-    out = None
-    for name, pat in FACT_PATTERNS.items():
-        part = (
-            lines.select(
-                "doc_id",
-                "offset",
-                F.posexplode(
-                    F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
-                ).alias("seq", "value"),
-            )
-            .select(
-                "doc_id",
-                "offset",
-                F.col("seq").cast("int").alias("seq"),
-                F.lit("text_fact").alias("source"),
+    extraction of currency/percent/date facts. Single pass: all patterns
+    extract into one concatenated struct array exploded once (a per-pattern
+    union would recompute the upstream lines lineage — the full extraction —
+    once per pattern)."""
+
+    def _matches(name, pat):
+        return F.transform(
+            F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)),
+            lambda v, i: F.struct(
+                i.cast("int").alias("seq"),
                 F.lit(name).alias("field"),
-                "value",
-            )
+                v.alias("value"),
+            ),
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+
+    all_facts = F.concat(
+        *[_matches(name, pat) for name, pat in FACT_PATTERNS.items()]
+    )
+    return (
+        lines.select(
+            "doc_id", "offset", F.explode_outer(all_facts).alias("f")
+        )
+        .filter(F.col("f").isNotNull())
+        .select(
+            "doc_id",
+            "offset",
+            F.col("f.seq").alias("seq"),
+            F.lit("text_fact").alias("source"),
+            F.col("f.field").alias("field"),
+            F.col("f.value").alias("value"),
+        )
+    )
 
 
 def all_data_points(
