@@ -623,7 +623,7 @@ WITH g AS (
   FROM events
 ), s AS (
   SELECT user_id, value,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,
