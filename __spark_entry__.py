@@ -42,15 +42,25 @@ from pdftableextractor_spark.operators.dedup import (
     simhash_near_dups,
     simhash_signatures,
 )
-from pdftableextractor_spark.operators.extract import extract_spans
+from pdftableextractor_spark.operators.extract import (
+    extract_frames,
+    extract_spans,
+)
 from pdftableextractor_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
     lsh_topk,
 )
 from pdftableextractor_spark.operators.structure import (
+    FACT_PATTERNS,
+    all_data_points,
     chunk_lines,
+    dedup_first_wins,
+    footnote_points,
+    kv_points,
     lexical_commentary,
+    table_points,
+    text_fact_points,
 )
 from pdftableextractor_spark.operators.multimodal import (
     extract_features,
@@ -475,6 +485,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q33_above_avg_balance"] = q33
 
+    # ----- footnote data points + the unified multi-source row contract -----
+    def q36(s, d):
+        frames = extract_frames(
+            interleave_flat_documents(_t(s, d, "documents"))
+        )
+        return footnote_points(frames["footnotes"]).select(
+            "doc_id",
+            F.col("offset").cast("bigint").alias("line_no"),
+            "source",
+            "type",
+            "field",
+            "value",
+            "page",
+            F.col("commentary_default").alias("commentary"),
+        )
+
+    q["q36_footnote_points"] = q36
+
+    def q37(s, d):
+        frames = extract_frames(
+            interleave_flat_documents(_t(s, d, "documents"))
+        )
+        pts = dedup_first_wins(
+            all_data_points(
+                table_points(frames["cells"]),
+                kv_points(frames["kvs"]),
+                text_fact_points(
+                    frames["lines"].select(
+                        "doc_id", F.col("line_no").alias("offset"), "text"
+                    )
+                ),
+                footnote_points(frames["footnotes"]),
+            )
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            "src_rank", "offset", "seq", "field", "value"
+        )
+        return pts.select(
+            "doc_id",
+            (F.row_number().over(w) - 1).cast("bigint").alias("point_id"),
+            "source",
+            "type",
+            "field",
+            "value",
+            "page",
+        )
+
+    q["q37_unified_points"] = q37
+
     q["q34_rollup"] = lambda s, d: (
         _t(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -756,6 +815,118 @@ SELECT doc_id,
             AS INT) AS "order",
        kind, text, media_ref
 FROM kept
+"""
+
+    # q36/q37: footnote rows + the unified 4-source assembly, over the same
+    # interleave model as q17. Raw candidate text lines = body sentences
+    # (offsets 1..n) + the injected footnote template (offset n+5); footnote
+    # line_no numbers the RAW lines, fact extraction runs on the KEPT
+    # (normalized, non-boiler, non-footnote) lines.
+    def _marker_sql(expr: str) -> str:
+        return (
+            f"regexp_extract(trim({expr}), "
+            "'(?i)^(?:\\(\\d+\\)|\\[\\d+\\]|\\d+\\.|\\*+\\s|note\\s*\\d*:"
+            "|source:|see\\s)')"
+        )
+
+    _RAWTEXT = f"""
+  SELECT doc_id, unnest(range(1, len(sents)+1)) AS off, unnest(sents) AS raw
+  FROM base
+  UNION ALL
+  SELECT doc_id, len(sents)+5, {foot_arr}[{foot_idx} + 1] FROM base
+"""
+
+    o["q36_footnote_points"] = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_DOC_H} AS h, {_SENTS} AS sents
+  FROM documents
+), rawtext AS ({_RAWTEXT}
+), numbered AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1
+              AS BIGINT) AS line_no,
+         trim(raw) AS content
+  FROM rawtext
+)
+SELECT doc_id, line_no,
+       'document_footnotes' AS source, 'Footnote' AS type,
+       'Footnote ' || {_marker_sql('content')} AS field,
+       content AS value, 'N/A' AS page,
+       'Line ' || CAST(line_no AS VARCHAR) AS commentary
+FROM numbered
+WHERE {_footnote_sql('content')}
+"""
+
+    fact_branches = "\n  UNION ALL\n".join(
+        f"""  SELECT doc_id, 2 AS src_rank, line_no AS off,
+         CAST(unnest(range(len(ms))) AS INT) AS seq,
+         'text_fact' AS source, 'Financial Data' AS type,
+         '{name}' AS field, unnest(ms) AS value, 'N/A' AS page
+  FROM (SELECT doc_id, line_no, regexp_extract_all(norm, '{pat}') AS ms
+        FROM lines)"""
+        for name, pat in FACT_PATTERNS.items()
+    )
+
+    o["q37_unified_points"] = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang,
+         source AS doc_source, n_chars, {_DOC_H} AS h, {_SENTS} AS sents
+  FROM documents
+), tablepts AS (
+  SELECT doc_id, 0 AS src_rank, len(sents)+1 AS off, 1001 AS seq,
+         'table' AS source, 'Table Data' AS type,
+         'chars_Value' AS field, CAST(n_chars AS VARCHAR) AS value,
+         CAST(len(sents)+1 AS VARCHAR) AS page
+  FROM base
+  UNION ALL
+  SELECT doc_id, 0, len(sents)+1, 2001, 'table', 'Table Data',
+         '_Value', CAST(h % 1000 AS VARCHAR), CAST(len(sents)+1 AS VARCHAR)
+  FROM base
+), kvpts AS (
+  SELECT doc_id, 1 AS src_rank, len(sents)+2 AS off, 0 AS seq,
+         'key_value' AS source, 'Structured Data' AS type,
+         'Language' AS field, trim(lang) AS value, 'N/A' AS page
+  FROM base WHERE trim(lang) <> ''
+  UNION ALL
+  SELECT doc_id, 1, len(sents)+3, 0, 'key_value', 'Structured Data',
+         'Source', trim(doc_source), 'N/A'
+  FROM base WHERE trim(doc_source) <> ''
+), rawtext AS ({_RAWTEXT}
+), lines AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1
+              AS INT) AS line_no,
+         {normalize_text_sql('raw')} AS norm
+  FROM rawtext
+  WHERE NOT {_boiler_sql('raw')} AND NOT {_footnote_sql('raw')}
+    AND {normalize_text_sql('raw')} <> ''
+), factpts AS (
+{fact_branches}
+), footpts AS (
+  SELECT doc_id, 3 AS src_rank, line_no AS off, 0 AS seq,
+         'document_footnotes' AS source, 'Footnote' AS type,
+         'Footnote ' || {_marker_sql('content')} AS field,
+         content AS value, 'N/A' AS page
+  FROM (SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1
+                    AS INT) AS line_no,
+               trim(raw) AS content
+        FROM rawtext)
+  WHERE {_footnote_sql('content')}
+), unioned AS (
+  SELECT * FROM tablepts UNION ALL SELECT * FROM kvpts
+  UNION ALL SELECT * FROM factpts UNION ALL SELECT * FROM footpts
+), dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, field, value
+                               ORDER BY src_rank, off, seq) AS rn
+  FROM unioned
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY src_rank, off, seq, field, value) - 1
+            AS BIGINT) AS point_id,
+       source, type, field, value, page
+FROM dedup WHERE rn = 1
 """
 
     o["q18_exact_dedup"] = """

@@ -1,15 +1,26 @@
-"""spark-submit entrypoint for the structuring stage: documents → data-point
-rows with lexical commentary + leftover paragraphs.
+"""spark-submit entrypoint for the structuring stage: documents → ONE unified
+data-point table matching the reference's row contract.
 
     spark-submit --py-files engine.zip jobs/structure.py \
         --gen-docs 300 --output /tmp/structured
         [--input documents.parquet] [--master local[8]]
 
-Mirrors the reference's /process + /process_stream dataflow (app.py:402,
-app.py:240) with every LLM call replaced by its deterministic analog
-(SURVEY.md §2.9): extraction frames → table/kv/text-fact data points →
-first-wins dedup → lexical commentary join → unmatched-paragraph rows.
-Writes two parquet outputs: <output>/points and <output>/paragraphs.
+Mirrors the reference's /process + /process_stream dataflow (app.py:240-364)
+with every LLM call replaced by its deterministic analog (SURVEY.md §2.9).
+Row contract = the reference's df_data row (app.py:267-274):
+(source, type, field, value, page, commentary), assembled in reference order:
+
+    0 tables        → 'Table Data'            (app.py:257-277)
+    1 key-values    → 'Structured Data'       (app.py:280-296)
+    2 text facts    → 'Financial Data'        (app.py:298-318)
+    3 footnotes     → 'Footnote'              (app.py:320-335)
+      [first-wins dedup + lexical commentary enrichment happens here —
+       footnote rows keep their 'Line {n}' default when no lexical match,
+       app.py:341-344]
+    4 unmatched text→ 'General Commentary'    (app.py:345-364)
+
+Writes one parquet at <output> with a unified per-doc point_id ordered by
+(src_rank, offset, seq) — the reference's append order.
 """
 
 from __future__ import annotations
@@ -36,6 +47,8 @@ def main() -> None:
     from pdftableextractor_spark.operators.structure import (
         all_data_points,
         dedup_first_wins,
+        footnote_points,
+        general_commentary_points,
         kv_points,
         lexical_commentary,
         table_points,
@@ -61,36 +74,85 @@ def main() -> None:
                     "doc_id", F.col("line_no").alias("offset"), "text"
                 )
             ),
+            footnote_points(frames["footnotes"]),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy("src_rank", "offset", "seq")
+    w = Window.partitionBy("doc_id").orderBy(
+        "src_rank", "offset", "seq", "field", "value"
+    )
     points = points.withColumn(
         "point_id", (F.row_number().over(w) - 1).cast("int")
     )
     commentary = lexical_commentary(
         points.select("doc_id", "point_id", "field", "value"), frames["lines"]
     )
+    # commentary precedence (app.py:341-344): lexical match wins; footnote
+    # rows fall back to their 'Line {n}' default (offset IS the raw line_no
+    # for src_rank 3); everything else falls back to ''
     enriched = points.join(
         commentary.withColumnRenamed("line_no", "matched_line"),
         ["doc_id", "point_id"],
         "left",
+    ).withColumn(
+        "commentary",
+        F.coalesce(
+            F.col("commentary"),
+            F.when(
+                F.col("src_rank") == 3,
+                F.concat(F.lit("Line "), F.col("offset").cast("string")),
+            ),
+            F.lit(""),
+        ),
     )
-    paras = unmatched_paragraphs(
-        frames["lines"], commentary.select("doc_id", "line_no")
+    general = general_commentary_points(
+        unmatched_paragraphs(
+            frames["lines"], commentary.select("doc_id", "line_no")
+        )
+    ).select(
+        "doc_id",
+        "offset",
+        "seq",
+        "source",
+        "type",
+        "field",
+        "value",
+        "page",
+        F.lit(4).alias("src_rank"),
+        F.lit(None).cast("int").alias("point_id"),
+        F.lit(None).cast("int").alias("matched_line"),
+        "commentary",
+        F.lit(None).cast("int").alias("score"),
     )
-    enriched.write.mode("overwrite").parquet(args.output + "/points")
-    paras.write.mode("overwrite").parquet(args.output + "/paragraphs")
+    unified = enriched.select(*general.columns).unionByName(general)
+    w_final = Window.partitionBy("doc_id").orderBy(
+        "src_rank", "offset", "seq", "field", "value"
+    )
+    unified = unified.select(
+        "doc_id",
+        (F.row_number().over(w_final) - 1).cast("int").alias("point_id"),
+        "source",
+        "type",
+        "field",
+        "value",
+        "page",
+        "commentary",
+        "score",
+        "matched_line",
+    )
+    unified.write.mode("overwrite").parquet(args.output)
     wall = time.time() - t0
 
-    pts = spark.read.parquet(args.output + "/points")
+    pts = spark.read.parquet(args.output)
+    by_src = {
+        r["source"]: r["n"]
+        for r in pts.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
     print(
         json.dumps(
             {
                 "points": pts.count(),
+                "by_source": by_src,
                 "with_commentary": pts.filter(F.col("score").isNotNull()).count(),
-                "paragraphs": spark.read.parquet(
-                    args.output + "/paragraphs"
-                ).count(),
                 "sec": round(wall, 3),
             }
         )

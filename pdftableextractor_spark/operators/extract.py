@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdftableextractor_spark.functions.strings import (
+    footnote_marker_col,
     is_boilerplate_col,
     is_footnote_col,
     normalize_text_col,
@@ -207,13 +208,21 @@ def _kv_branch(spans: DataFrame) -> DataFrame:
     )
 
 
+def _pdf_expanded(spans: DataFrame) -> DataFrame:
+    """Raw layout-kernel output (doc_id, offset, sub_idx, kind, text,
+    media_ref) — text lines UNFILTERED and UNNORMALIZED. Shared by the
+    extraction branch (which normalizes + filters) and the footnote frame
+    (which classifies the raw line, textract_processor.py:98-160 semantics)."""
+    return spans.select("doc_id", "offset", "text").mapInPandas(
+        pdf_layout_kernel, schema=KERNEL_OUT_SCHEMA
+    )
+
+
 def _pdf_branch(spans: DataFrame) -> DataFrame:
     """Layout-kernel expansion + the shared text filters, in ONE pass (a
     union of two filters over the kernel output would run the Python kernel
     twice)."""
-    expanded = spans.select("doc_id", "offset", "text").mapInPandas(
-        pdf_layout_kernel, schema=KERNEL_OUT_SCHEMA
-    )
+    expanded = _pdf_expanded(spans)
     staged = expanded.select(
         "doc_id",
         "offset",
@@ -403,6 +412,12 @@ def extract_frames(documents: DataFrame) -> dict[str, DataFrame]:
              from kind='table' spans (pdf-derived cells are flat-only and
              excluded here; they still appear in ``extract_spans`` output)
       kvs:   (doc_id, offset, text='key: value')
+      footnotes: (doc_id, line_no, marker, content) — raw content lines
+             classified as footnotes (textract_processor.py:98-160), numbered
+             over ALL raw candidate lines per doc (the reference's
+             `enumerate(document_text)` index at textract_processor.py:118),
+             so line_no matches the reference's footnote `line_number` even
+             though those lines never reach the filtered `lines` frame.
     """
     s = explode_spans(documents)
     zero = F.lit(0).cast("int").alias("sub_idx")
@@ -427,4 +442,32 @@ def extract_frames(documents: DataFrame) -> dict[str, DataFrame]:
     kvs = _kv_branch(s.filter(F.col("kind") == "kv")).select(
         "doc_id", "offset", "text"
     )
-    return {"lines": lines, "cells": cells, "kvs": kvs}
+
+    # raw candidate lines = text spans + pdf-kernel text lines, PRE-filter:
+    # footnotes are dropped by _text_branch, so classification must happen on
+    # this frame. Numbering covers every raw line (blank or not) to mirror
+    # the reference's enumerate index.
+    raw = (
+        s.filter(F.col("kind") == "text")
+        .select("doc_id", "offset", zero, "text")
+        .unionByName(
+            _pdf_expanded(s.filter(F.col("kind") == "pdf"))
+            .filter(F.col("kind") == "text")
+            .select("doc_id", "offset", "sub_idx", "text")
+        )
+    )
+    footnotes = (
+        raw.select(
+            "doc_id",
+            (F.row_number().over(w) - 1).cast("int").alias("line_no"),
+            F.trim("text").alias("content"),
+        )
+        .filter(is_footnote_col(F.col("content")))
+        .select(
+            "doc_id",
+            "line_no",
+            footnote_marker_col(F.col("content")).alias("marker"),
+            "content",
+        )
+    )
+    return {"lines": lines, "cells": cells, "kvs": kvs, "footnotes": footnotes}

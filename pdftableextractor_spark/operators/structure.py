@@ -84,12 +84,17 @@ def table_points(cells: DataFrame) -> DataFrame:
             "offset",
             (F.col("row_idx") * 1000 + F.col("col_idx")).cast("int").alias("seq"),
             F.lit("table").alias("source"),
+            F.lit("Table Data").alias("type"),
             F.concat_ws(
                 "_",
                 F.regexp_replace(F.col("label"), r"\s+", "_"),
                 F.regexp_replace(F.col("header"), r"\s+", "_"),
             ).alias("field"),
             F.col("text").alias("value"),
+            # span-model analog of Textract's per-table page attribute
+            # (app.py:262): the table span's document offset; every other
+            # source carries the reference's literal 'N/A'
+            F.col("offset").cast("string").alias("page"),
         )
     )
 
@@ -104,8 +109,10 @@ def kv_points(kv: DataFrame) -> DataFrame:
             "offset",
             F.lit(0).cast("int").alias("seq"),
             F.lit("key_value").alias("source"),
+            F.lit("Structured Data").alias("type"),
             F.trim(F.get(parts, 0)).alias("field"),
             F.trim(F.coalesce(F.get(parts, 1), F.lit(""))).alias("value"),
+            F.lit("N/A").alias("page"),
         )
         .filter((F.col("field") != "") & (F.col("value") != ""))
         .filter(F.lower(F.col("field")) != "error")
@@ -152,22 +159,87 @@ def text_fact_points(lines: DataFrame) -> DataFrame:
             "offset",
             F.col("f.seq").alias("seq"),
             F.lit("text_fact").alias("source"),
+            # the reference marks a text-chunk fact 'Footnote' only when the
+            # LLM key contains 'footnote' (app.py:305); the deterministic
+            # fact fields (currency/percentage/date) never do
+            F.lit("Financial Data").alias("type"),
             F.col("f.field").alias("field"),
             F.col("f.value").alias("value"),
+            F.lit("N/A").alias("page"),
         )
     )
 
 
+def footnote_points(footnotes: DataFrame) -> DataFrame:
+    """Standalone footnote rows (app.py:320-335): every detected footnote
+    becomes a data point with the marker verbatim in the field, the raw
+    stripped line as the value, and its raw line number as the default
+    commentary (overwritten downstream when the lexical join finds a better
+    context, app.py:341-344).
+
+    footnotes: (doc_id, line_no, marker, content) from extract_frames.
+    """
+    return footnotes.select(
+        "doc_id",
+        F.col("line_no").cast("int").alias("offset"),
+        F.lit(0).cast("int").alias("seq"),
+        F.lit("document_footnotes").alias("source"),
+        F.lit("Footnote").alias("type"),
+        F.concat(F.lit("Footnote "), F.col("marker")).alias("field"),
+        F.col("content").alias("value"),
+        F.lit("N/A").alias("page"),
+        F.concat(F.lit("Line "), F.col("line_no").cast("string")).alias(
+            "commentary_default"
+        ),
+    )
+
+
+def general_commentary_points(paras: DataFrame) -> DataFrame:
+    """Unmatched-text rows (app.py:345-364): each leftover paragraph becomes
+    'Text Segment {n}' with the >400-char sentence-aware summarize/truncate
+    rule applied to the displayed value (the deterministic analog of
+    summarize_commentary, app.py:42-80 — SURVEY §2.9 X6) and the reference's
+    fixed commentary literal.
+
+    paras: (doc_id, para_no, paragraph) from unmatched_paragraphs.
+    """
+    return paras.select(
+        "doc_id",
+        F.col("para_no").cast("int").alias("offset"),
+        F.lit(0).cast("int").alias("seq"),
+        F.lit("document_text").alias("source"),
+        F.lit("General Commentary").alias("type"),
+        F.concat(
+            F.lit("Text Segment "), (F.col("para_no") + 1).cast("string")
+        ).alias("field"),
+        _truncate_sentences_col(F.col("paragraph"), 400, 350).alias("value"),
+        F.lit("N/A").alias("page"),
+        F.lit("Unmatched document content").alias("commentary"),
+    )
+
+
 def all_data_points(
-    tables: DataFrame, kvs: DataFrame, facts: DataFrame
+    tables: DataFrame,
+    kvs: DataFrame,
+    facts: DataFrame,
+    footnotes: DataFrame | None = None,
 ) -> DataFrame:
-    """U1: tables, then key-values, then text facts — the reference's
-    assembly order (app.py:256-332), encoded in src_rank so downstream
-    first-wins dedup reproduces it."""
+    """U1: tables, then key-values, then text facts, then standalone
+    footnotes — the reference's assembly order (app.py:256-335), encoded in
+    src_rank so downstream first-wins dedup reproduces it. The fifth source
+    (unmatched-text General Commentary rows) joins AFTER commentary
+    enrichment, mirroring app.py:345-364 — see jobs/structure.py."""
     t = tables.withColumn("src_rank", F.lit(0))
     k = kvs.withColumn("src_rank", F.lit(1))
     x = facts.withColumn("src_rank", F.lit(2))
-    return t.unionByName(k).unionByName(x)
+    out = t.unionByName(k).unionByName(x)
+    if footnotes is not None:
+        out = out.unionByName(
+            footnotes.drop("commentary_default").withColumn(
+                "src_rank", F.lit(3)
+            )
+        )
+    return out
 
 
 def dedup_first_wins(points: DataFrame) -> DataFrame:
