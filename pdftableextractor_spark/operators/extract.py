@@ -51,6 +51,13 @@ from pdftableextractor_spark.types import US
 
 CELL_TAG_RE = r"^r(\d+)c(\d+):"
 
+# densification bound: a hostile 'r2000000000c0:x' tag would otherwise make
+# F.sequence materialize a multi-GB array per row (executor OOM). Real
+# document grids are < 10k rows/cols by orders of magnitude; cells tagged
+# beyond the bound are dropped as malformed (oracle._table_cells mirrors
+# the same bound).
+GRID_MAX = 10_000
+
 
 def explode_spans(documents: DataFrame) -> DataFrame:
     """documents(doc_id, spans) → one row per span.
@@ -105,7 +112,10 @@ def _cells_col(text_col):
                 F.regexp_replace(t, CELL_TAG_RE, "").alias("txt"),
             ),
         ),
-        lambda x: x["r"].isNotNull() & x["c"].isNotNull(),
+        lambda x: x["r"].isNotNull()
+        & x["c"].isNotNull()
+        & (x["r"] < GRID_MAX)
+        & (x["c"] < GRID_MAX),
     )
 
 

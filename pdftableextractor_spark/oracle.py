@@ -74,6 +74,9 @@ def is_boiler(line: str) -> bool:
     )
 
 
+GRID_MAX = 10_000  # mirrors operators/extract.py:GRID_MAX densification bound
+
+
 def _table_cells(payload: str) -> list[str]:
     tag = re.compile(r"^r([0-9]+)c([0-9]+):")
     parsed = {}
@@ -83,6 +86,8 @@ def _table_cells(payload: str) -> list[str]:
         if not m:
             continue
         r, c = int(m.group(1)), int(m.group(2))
+        if r >= GRID_MAX or c >= GRID_MAX:
+            continue  # malformed/hostile tag — same bound as the engine
         parsed[(r, c)] = tok[m.end():]
         max_r, max_c = max(max_r, r), max(max_c, c)
     if max_r < 0:

@@ -8,9 +8,13 @@ newly-arrived documents runs the SAME batch extraction operator and appends
 its span sequences — per-document output is identical to the batch path
 (the ordering window is per-doc, and a document arrives whole in one batch).
 
-``Trigger.AvailableNow`` gives catch-up/backfill semantics; checkpointing
-gives exactly-once appends across restarts (the streaming analog of
-plans/resume.py's bucket lineage).
+``Trigger.AvailableNow`` gives catch-up/backfill semantics. foreachBatch is
+at-least-once (a crash between the sink write and the checkpoint commit
+replays the micro-batch on restart), so the batch write itself is made
+idempotent: each batch writes its own ``batch_id=N`` partition with dynamic
+partition overwrite — a replayed batch REPLACES its partition instead of
+appending duplicates. Idempotent-replay + checkpointing = effectively-once
+output (the streaming analog of plans/resume.py's bucket lineage).
 """
 
 from __future__ import annotations
@@ -30,8 +34,11 @@ def stream_extract(
     """Start (and with available_now=True, run to completion) the streaming
     extraction: parquet file source → extract_spans per micro-batch →
     parquet append. Returns the StreamingQuery."""
+    from pyspark.sql import functions as F
+
     from pdftableextractor_spark.operators.extract import extract_spans
 
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     src = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .option("maxFilesPerTrigger", "8")
@@ -41,7 +48,14 @@ def stream_extract(
     def process_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        extract_spans(batch_df).write.mode("append").parquet(output_dir)
+        # idempotent replay: overwrite exactly this batch's partition
+        (
+            extract_spans(batch_df)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
 
     writer = (
         src.writeStream.foreachBatch(process_batch)

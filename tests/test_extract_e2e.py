@@ -84,3 +84,36 @@ def test_media_passthrough(spark, corpus_docs, documents_df):
     ]
     got_media = [(r["doc_id"], r["media_ref"]) for r in got.collect()]
     assert sorted(got_media) == sorted(exp_media)
+
+
+def test_hostile_grid_tag_is_clamped(spark):
+    """A 'r2000000000c0:' cell tag must not densify a multi-GB grid
+    (extract.GRID_MAX bound); the engine and the pure-Python oracle drop it
+    identically."""
+    from pdftableextractor_spark import oracle
+    from pdftableextractor_spark.operators.extract import extract_spans
+    from pdftableextractor_spark.types import US
+
+    payload = US.join(
+        ["r0c0:A", "r0c1:B", "r2000000000c0:boom", "r1c1:$5"]
+    )
+    doc = {
+        "doc_id": "d1",
+        "spans": [
+            {"kind": "table", "text": payload, "media_ref": "", "offset": 0}
+        ],
+    }
+    sdf = spark.createDataFrame(
+        [doc],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = [
+        (r["order"], r["kind"], r["text"])
+        for r in extract_spans(sdf).orderBy("order").collect()
+    ]
+    exp = [
+        (r["order"], r["kind"], r["text"]) for r in oracle.extract_document(doc)
+    ]
+    assert got == exp
+    assert [t for _, _, t in got] == ["A", "B", "", "$5"]
