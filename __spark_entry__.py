@@ -47,6 +47,7 @@ from pdftableextractor_spark.operators.extract import (
     extract_spans,
 )
 from pdftableextractor_spark.operators.similarity import (
+    _hyperplanes,
     cosine_topk,
     ivf_topk,
     lsh_topk,
@@ -392,8 +393,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q25_ivf_topk"] = lambda s, d: ivf_topk(
         _t(s, d, "embeddings"), _qvec(s, d), k=10, nprobe=2
     )
-    # rows-only: the hyperplane constants are float matrices, not worth
-    # embedding as SQL literals — recall is pinned by pytest instead
     q["q35_lsh_topk"] = lambda s, d: lsh_topk(
         _t(s, d, "embeddings"), _qvec(s, d), k=10
     )
@@ -754,7 +753,119 @@ SELECT event_id, unnest(nums) AS num FROM (
 )
 """
 
-    # q15/q16: sequential kernels → rows-only check (no oracle)
+    # q15: sequential chunker → rows-only check (boundary cases pinned by
+    # pytest; the per-doc stateful loop is honestly not SQL)
+
+    # q16: the lexical commentary scorer IS SQL-expressible (scores 10/7/2,
+    # threshold 7, argmax, −1/+2 context window, sentence-aware truncation).
+    # Truncation uses a prefix-scan formulation: the aggregate()-HOF's
+    # sticky stop state is equivalent to "keep sentences before the FIRST
+    # violation", computable with a cumulative window sum.
+    def _clean_markers_dsql(expr: str) -> str:
+        c = f"regexp_replace({expr}, '[⁰¹²³⁴⁵⁶⁷⁸⁹]+', '', 'g')"
+        c = f"regexp_replace({c}, '\\(\\d+\\)', '', 'g')"
+        c = f"regexp_replace({c}, '\\[\\d+\\]', '', 'g')"
+        c = f"regexp_replace({c}, '\\*+', '', 'g')"
+        return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+
+    _VAL_CLEAN = (
+        "trim(replace(replace(replace(lower(substr(text, 1, 20)),"
+        " '$', ''), '%', ''), ',', ''))"
+    )
+    o["q16_lexical_commentary"] = f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, {_SENTS} AS sents
+  FROM documents
+), lns AS (
+  SELECT doc_id, unnest(range(0, len(sents))) AS line_no,
+         unnest(sents) AS ltext
+  FROM docs
+), pts AS (
+  SELECT doc_id, 0 AS point_id, {_VAL_CLEAN} AS value_clean FROM docs
+), ln AS (
+  SELECT doc_id, line_no, lower(ltext) AS line_lower,
+         {_clean_markers_dsql('lower(ltext)')} AS line_clean,
+         {_clean_markers_dsql("string_agg(ltext, ' ') OVER w")} AS context
+  FROM lns
+  WINDOW w AS (PARTITION BY doc_id ORDER BY line_no
+               ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING)
+), scored AS (
+  SELECT p.doc_id, p.point_id, l.line_no, l.context,
+         (CASE WHEN length(p.value_clean) > 2
+                AND position(p.value_clean IN l.line_clean) > 0
+               THEN 10 ELSE 0 END
+          + 7 * len(list_filter(
+                list_filter(regexp_extract_all(p.value_clean, '\\d+\\.?\\d*'),
+                            n -> length(n) > 1),
+                n -> position(n IN l.line_clean) > 0))
+          + 2 * ((CASE WHEN position('content' IN l.line_lower) > 0
+                       THEN 1 ELSE 0 END)
+               + (CASE WHEN position('sample' IN l.line_lower) > 0
+                       THEN 1 ELSE 0 END))) AS score
+  FROM pts p JOIN ln l USING (doc_id)
+), best AS (
+  SELECT doc_id, point_id, line_no, score, context AS ctx FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, point_id
+                                 ORDER BY score DESC, line_no) AS rn
+    FROM scored WHERE score >= 7
+  ) WHERE rn = 1
+), sent AS (
+  SELECT doc_id, point_id, unnest(ss) AS s,
+         unnest(range(1, len(ss)+1)) AS i
+  FROM (SELECT doc_id, point_id,
+               string_split(replace(replace(ctx, '!', '.'), '?', '.'), '.')
+                 AS ss
+        FROM best WHERE length(ctx) > 400)
+), st AS (
+  SELECT doc_id, point_id, i, trim(s) AS t,
+         coalesce(sum(length(trim(s)) + 2) OVER (
+           PARTITION BY doc_id, point_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM sent
+), fv AS (
+  SELECT doc_id, point_id,
+         min(CASE WHEN t = '' OR cum_prev + length(t) >= 350 THEN i END)
+           AS first_v
+  FROM st GROUP BY doc_id, point_id
+), acc AS (
+  SELECT st.doc_id, st.point_id,
+         string_agg(t, '. ' ORDER BY i)
+           FILTER (WHERE fv.first_v IS NULL OR st.i < fv.first_v) AS body
+  FROM st JOIN fv USING (doc_id, point_id)
+  GROUP BY st.doc_id, st.point_id
+)
+SELECT b.doc_id, b.point_id, CAST(b.line_no AS BIGINT) AS line_no,
+       CAST(b.score AS BIGINT) AS score,
+       CASE WHEN length(b.ctx) <= 400 THEN b.ctx
+            WHEN a.body IS NOT NULL THEN a.body || '.'
+            ELSE substr(b.ctx, 1, 400) || '...' END AS commentary
+FROM best b LEFT JOIN acc a USING (doc_id, point_id)
+"""
+
+    # q35: hyperplane constants are deterministic (md5-seeded) 4×64 float
+    # literals — embedded verbatim so DuckDB reproduces the sign buckets
+    _planes = _hyperplanes(64, 4)
+    _plane_lits = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in _planes
+    ]
+    _bucket_expr = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {lit}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(_plane_lits)
+    )
+    o["q35_lsh_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, {_bucket_expr} AS bucket FROM e
+), q AS (
+  SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cos
+FROM b WHERE bucket = (SELECT qb FROM q)
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
 
     # q17: the full interleave + extract chain
     boiler_idx = f"({_DOC_H} % {len(BOILER_LINES)})"
