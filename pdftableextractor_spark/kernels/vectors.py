@@ -70,6 +70,30 @@ def pairwise_cosine_udf():
     return k
 
 
+def nearest_centroid_udf(centroids):
+    """UDF: index of the cosine-nearest centroid — the k-means assignment
+    step. Centroids (k × dim, small) ride the closure; each Arrow batch is
+    one (batch × k) matmul + argmax. Ties break to the lowest index
+    (np.argmax), deterministically."""
+    c = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    cn = np.sqrt(np.einsum("ij,ij->i", c, c))
+    cn[cn == 0.0] = 1.0
+
+    @pandas_udf("int")
+    def k(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            if not len(s):
+                yield pd.Series(np.empty(0, dtype=np.int32))
+                continue
+            m = _matrix(s)
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+            norms[norms == 0.0] = 1.0
+            sims = (m @ c.T) / np.outer(norms, cn)
+            yield pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return k
+
+
 def lsh_bucket_udf(planes):
     """UDF: sign-bit LSH bucket id — bucket = Σ 2^i·[v·p_i > 0]. One
     (batch × planes.T) matmul replaces n_planes interpreted aggregates

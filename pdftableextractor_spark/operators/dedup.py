@@ -294,6 +294,73 @@ def simhash_near_dups(
     )
 
 
+def simhash_near_dups_multiband(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 8,
+    n_bands: int = 5,
+) -> DataFrame:
+    """Multi-band SimHash near-dup pairs — the rotated-prefix variant
+    promised by ``simhash_near_dups``'s single-rotation caveat.
+
+    The 60-bit signature splits into ``n_bands`` disjoint bands
+    (60/n_bands bits each); a candidate pair is any pair agreeing on at
+    least one full band. Pigeonhole guarantee: a pair with
+    hamming < n_bands differs in fewer bits than there are bands, so some
+    band is identical — recall is EXACT for hamming <= n_bands - 1, and
+    probabilistically high above it (the single-prefix variant misses any
+    pair whose diff bits land in the one blocked prefix). Cost: n_bands
+    band rows per doc (explode), join per (band_idx, band_value), distinct
+    pair dedup before the hamming verify — same shape as MinHash-LSH
+    banding, linear in corpus size for uniform signatures.
+    """
+    band_bits = SIMHASH_BITS // n_bands
+    sigs = simhash_signatures(docs, text_col)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.shiftright(F.col("simhash"), t * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band"),
+                    )
+                    for t in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.t").alias("t"),
+        F.col("bb.band").alias("band"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "t", "band",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "t", "band",
+    )
+    cand = (
+        a.join(b, ["t", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()  # a pair may collide in several bands — verify once
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     block_col: str,

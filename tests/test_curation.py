@@ -135,3 +135,112 @@ def test_lsh_topk_contains_query_and_subsets_bruteforce(spark):
     # every LSH result carries the exact cosine for its vec_id
     for vid, c in got:
         assert abs(exact[vid] - c) < 1e-6
+
+
+def test_kmeans_ivf_on_unlabeled_corpus(spark):
+    """ivf_topk must work with NO label column: kmeans_cells (deterministic
+    Lloyd iterations) supplies the cell assignment, and recall vs brute
+    force on a planted-cluster corpus stays high."""
+    import numpy as np
+
+    from pdftableextractor_spark.operators.similarity import kmeans_cells
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((8, 32)) * 5.0
+    rows = []
+    for i in range(400):
+        v = centers[i % 8] + rng.standard_normal(32) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])  # NO label
+
+    assigned = kmeans_cells(emb, k=8, iters=3)
+    assert assigned.columns == ["vec_id", "embedding", "cell"]
+    # determinism: a second run assigns identical cells
+    again = {
+        r["vec_id"]: r["cell"] for r in kmeans_cells(emb, k=8, iters=3).collect()
+    }
+    first = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert first == again
+    # the planted structure is recovered: every true cluster lands (almost)
+    # entirely in one k-means cell
+    by_true = {}
+    for vid, cell in first.items():
+        by_true.setdefault(vid % 8, []).append(cell)
+    for true_c, cells in by_true.items():
+        top = max(set(cells), key=cells.count)
+        assert cells.count(top) / len(cells) >= 0.9, (true_c, cells[:10])
+
+    q = rows[0][1]
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(assigned, q, k=10, nprobe=2, cell_col="cell").collect()
+    ]
+    overlap = len(set(exact) & set(approx))
+    assert exact[0] == 0
+    assert overlap >= 8, f"kmeans-IVF recall too low: {overlap}/10"
+
+
+def test_simhash_multiband_recovers_prefix_misses(spark):
+    """A pair with small hamming whose differing bits hit the single
+    blocked prefix is invisible to simhash_near_dups (one rotation) but
+    MUST be found by the multi-band variant (pigeonhole: hamming < n_bands
+    leaves some band identical). The 'w6' suffix was searched offline to
+    flip top-12-prefix bits at hamming 6."""
+    from pdftableextractor_spark.operators.dedup import (
+        simhash_near_dups,
+        simhash_near_dups_multiband,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [("a", base), ("b", base + " w6"), ("c", "totally unrelated words")],
+        ["doc_id", "text"],
+    )
+    single = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dups(docs, max_hamming=8).collect()
+    }
+    multi = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dups_multiband(
+            docs, max_hamming=8, n_bands=5
+        ).collect()
+    }
+    assert ("a", "b") not in single  # the documented single-rotation gap
+    assert ("a", "b") in multi  # recovered by banding
+    assert ("a", "c") not in multi and ("b", "c") not in multi
+
+
+def test_simhash_multiband_exact_recall_vs_quadratic(spark):
+    """Guarantee: every pair with hamming <= n_bands - 1 present in a full
+    quadratic scan is returned by the banded join."""
+    from pdftableextractor_spark.operators.dedup import (
+        simhash_near_dups_multiband,
+        simhash_signatures,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [("d0", base)] + [
+        (f"d{i}", base + f" w{i}") for i in range(1, 120)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs).collect()
+    }
+    ids = sorted(sigs)
+    exact = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 4
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dups_multiband(
+            docs, max_hamming=4, n_bands=5
+        ).collect()
+    }
+    assert exact, "test corpus produced no close pairs — vacuous"
+    assert banded == exact
