@@ -58,3 +58,56 @@ def test_csv_roundtrip_quote_all(spark, tmp_path):
             data.extend(rows[1:])
     assert all(h == ["Category", "Value 1"] for h in headers)
     assert data == [['He said "hi"', "a,b"]]
+
+
+def test_pdf_column_order_matches_reference_rule():
+    """export_utils.py:38-42: Category first, Value* in PYTHON STRING sort
+    ('Value 10' before 'Value 2'), everything else dropped."""
+    from pdftableextractor_spark.operators.export import pdf_column_order
+
+    cols = ["Value 2", "Category", "Value 10", "Value 1", "Extra", "zz"]
+    assert pdf_column_order(cols) == [
+        "Category", "Value 1", "Value 10", "Value 2",
+    ]
+
+
+def test_write_pdf_produces_valid_pdf(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pdftableextractor_spark.operators.export import write_pdf
+
+    rows = [
+        ({"Category": "Revenue", "Value 1": "$10 (net)"},),
+        ({"Category": "Margin", "Value 2": "12%"},),
+    ]
+    df = spark.createDataFrame(rows, "data map<string,string>")
+    path = str(tmp_path / "out.pdf")
+    pdf = write_pdf(df, path)
+    raw = open(path, "rb").read()
+    assert raw == pdf
+    assert raw.startswith(b"%PDF-1.4")
+    assert raw.rstrip().endswith(b"%%EOF")
+    assert b"(Extracted Information)" in raw
+    # header row carries the reference column order; parens escaped
+    assert b"(Category | Value 1 | Value 2)" in raw
+    assert rb"$10 \(net\)" in raw
+    # xref offsets actually point at 'N 0 obj' headers (spec-valid file)
+    import re as _re
+
+    xref_at = int(raw.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    assert raw[xref_at : xref_at + 4] == b"xref"
+    entries = _re.findall(rb"(\d{10}) 00000 n", raw)
+    for i, off in enumerate(entries, start=1):
+        assert raw[int(off) : int(off) + len(f"{i} 0 obj")] == f"{i} 0 obj".encode()
+
+
+def test_write_pdf_paginates(spark, tmp_path):
+    from pdftableextractor_spark.operators.export import (
+        render_pdf_table,
+    )
+
+    pdf = render_pdf_table(["Category", "Value 1"],
+                           [[f"c{i}", str(i)] for i in range(95)],
+                           rows_per_page=40)
+    assert pdf.count(b"/Type /Page ") == 3  # 95 rows @ 40/page
+    assert b"/Count 3" in pdf
