@@ -753,8 +753,38 @@ SELECT event_id, unnest(nums) AS num FROM (
 )
 """
 
-    # q15: sequential chunker → rows-only check (boundary cases pinned by
-    # pytest; the per-doc stateful loop is honestly not SQL)
+    # q15: the chunker's per-doc stateful loop (counter with data-dependent
+    # resets) is beyond window functions but IS expressible as a RECURSIVE
+    # CTE stepping one line per iteration — state (cur, next_cid) carried
+    # across the self-join; all docs advance in parallel per iteration.
+    _CHUNK_MAX = 5
+    _BND = "regexp_matches(trim(text), '[.!?:]$')"
+    _BNDL = "regexp_matches(trim(l.text), '[.!?:]$')"
+    o["q15_chunker"] = f"""
+WITH RECURSIVE ln AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(unnest(range(0, len(sents))) AS INT) AS line_no,
+         unnest(sents) AS text
+  FROM (SELECT doc_id, {_SENTS} AS sents FROM documents)
+), s AS (
+  SELECT doc_id, line_no, text, CAST(0 AS INT) AS chunk_id,
+         CASE WHEN 1 >= {_CHUNK_MAX} AND ({_BND} OR 1 >= {_CHUNK_MAX} + 5)
+              THEN 0 ELSE 1 END AS cur,
+         CASE WHEN 1 >= {_CHUNK_MAX} AND ({_BND} OR 1 >= {_CHUNK_MAX} + 5)
+              THEN 1 ELSE 0 END AS next_cid
+  FROM ln WHERE line_no = 0
+  UNION ALL
+  SELECT l.doc_id, l.line_no, l.text, CAST(s.next_cid AS INT) AS chunk_id,
+         CASE WHEN s.cur + 1 >= {_CHUNK_MAX}
+                   AND ({_BNDL} OR s.cur + 1 >= {_CHUNK_MAX} + 5)
+              THEN 0 ELSE s.cur + 1 END,
+         CASE WHEN s.cur + 1 >= {_CHUNK_MAX}
+                   AND ({_BNDL} OR s.cur + 1 >= {_CHUNK_MAX} + 5)
+              THEN s.next_cid + 1 ELSE s.next_cid END
+  FROM ln l JOIN s ON l.doc_id = s.doc_id AND l.line_no = s.line_no + 1
+)
+SELECT doc_id, line_no, text, chunk_id FROM s
+"""
 
     # q16: the lexical commentary scorer IS SQL-expressible (scores 10/7/2,
     # threshold 7, argmax, −1/+2 context window, sentence-aware truncation).
