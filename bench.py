@@ -75,10 +75,13 @@ def build_queries(spark, sf_dir: str, synth_path: str):
     from pdftableextractor_spark.operators.structure import (
         all_data_points,
         dedup_first_wins,
+        footnote_points,
+        general_commentary_points,
         kv_points,
         lexical_commentary,
         table_points,
         text_fact_points,
+        unmatched_paragraphs,
     )
     from pdftableextractor_spark.operators.textstats import (
         lang_id,
@@ -111,6 +114,47 @@ def build_queries(spark, sf_dir: str, synth_path: str):
         )
         _materialize(pts.join(com, ["doc_id", "point_id"], "left"))
 
+    def unified_points():
+        # the full 5-source row contract (jobs/structure.py): 4-source union
+        # + dedup + commentary enrichment + unmatched-text General
+        # Commentary rows, one final ordering window
+        frames = extract_frames(interleave_flat_documents(docs_flat))
+        pts = dedup_first_wins(
+            all_data_points(
+                table_points(frames["cells"]),
+                kv_points(frames["kvs"]),
+                text_fact_points(
+                    frames["lines"].select(
+                        "doc_id", F.col("line_no").alias("offset"), "text"
+                    )
+                ),
+                footnote_points(frames["footnotes"]),
+            )
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            "src_rank", "offset", "seq", "field", "value"
+        )
+        pts = pts.withColumn("point_id", (F.row_number().over(w) - 1).cast("int"))
+        com = lexical_commentary(
+            pts.select("doc_id", "point_id", "field", "value"), frames["lines"]
+        )
+        enriched = pts.join(
+            com.withColumnRenamed("line_no", "matched_line"),
+            ["doc_id", "point_id"],
+            "left",
+        )
+        general = general_commentary_points(
+            unmatched_paragraphs(frames["lines"], com.select("doc_id", "line_no"))
+        )
+        _materialize(
+            enriched.select("doc_id", "source", "type", "field", "value", "page")
+            .unionByName(
+                general.select(
+                    "doc_id", "source", "type", "field", "value", "page"
+                )
+            )
+        )
+
     qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
 
     # skew demonstration: the same corpus as ONE fat file (a single input
@@ -132,6 +176,7 @@ def build_queries(spark, sf_dir: str, synth_path: str):
             extract_spans(interleave_flat_documents(docs_flat))
         ),
         "structure_points": structure_points,
+        "unified_points": unified_points,
         "pricing_summary": lambda: _materialize(
             entry.queries()["q13_pricing_summary"](spark, sf_dir)
         ),

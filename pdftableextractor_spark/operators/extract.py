@@ -232,7 +232,11 @@ def _pdf_branch(spans: DataFrame) -> DataFrame:
     """Layout-kernel expansion + the shared text filters, in ONE pass (a
     union of two filters over the kernel output would run the Python kernel
     twice)."""
-    expanded = _pdf_expanded(spans)
+    return _pdf_filtered(_pdf_expanded(spans))
+
+
+def _pdf_filtered(expanded: DataFrame) -> DataFrame:
+    """The normalize/keep projection over raw kernel output."""
     staged = expanded.select(
         "doc_id",
         "offset",
@@ -291,8 +295,11 @@ def extract_spans(documents: DataFrame, salt: bool = False) -> DataFrame:
     from pdftableextractor_spark.plans.skew import salted_repartition
 
     # duplicate (r,c) cells take the LAST value, like the reference's
-    # table_structure[row][col] assignment (textract_processor.py:287) —
-    # independent of the session's default map-key policy
+    # table_structure[row][col] assignment (textract_processor.py:287).
+    # NOTE: this mutates the SESSION conf (map-key policy is evaluated at
+    # execution, so it cannot be scoped to this plan). build_session already
+    # sets it; this covers foreign sessions. If your session needs EXCEPTION
+    # semantics elsewhere, run extraction in its own session.
     documents.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
     s = explode_spans(documents)
@@ -430,13 +437,18 @@ def extract_frames(documents: DataFrame) -> dict[str, DataFrame]:
              though those lines never reach the filtered `lines` frame.
     """
     s = explode_spans(documents)
+    return _frames_from(s, _pdf_expanded(s.filter(F.col("kind") == "pdf")))
+
+
+def _frames_from(s: DataFrame, pdf_raw: DataFrame) -> dict[str, DataFrame]:
+    """Frames from an exploded-span frame + raw pdf-kernel output — split
+    out so ``stage_frames`` can persist the two expensive inputs and build
+    every frame from ONE extraction pass."""
     zero = F.lit(0).cast("int").alias("sub_idx")
     text = _text_branch(
         s.filter(F.col("kind") == "text").select("doc_id", "offset", zero, "text")
     )
-    pdf_text = _pdf_branch(s.filter(F.col("kind") == "pdf")).filter(
-        F.col("kind") == "text"
-    )
+    pdf_text = _pdf_filtered(pdf_raw).filter(F.col("kind") == "text")
     w = Window.partitionBy("doc_id").orderBy("offset", "sub_idx")
     lines = (
         text.unionByName(pdf_text)
@@ -461,8 +473,7 @@ def extract_frames(documents: DataFrame) -> dict[str, DataFrame]:
         s.filter(F.col("kind") == "text")
         .select("doc_id", "offset", zero, "text")
         .unionByName(
-            _pdf_expanded(s.filter(F.col("kind") == "pdf"))
-            .filter(F.col("kind") == "text")
+            pdf_raw.filter(F.col("kind") == "text")
             .select("doc_id", "offset", "sub_idx", "text")
         )
     )
@@ -481,3 +492,36 @@ def extract_frames(documents: DataFrame) -> dict[str, DataFrame]:
         )
     )
     return {"lines": lines, "cells": cells, "kvs": kvs, "footnotes": footnotes}
+
+
+def stage_frames(documents: DataFrame, stage_dir: str) -> dict[str, DataFrame]:
+    """Extraction frames materialized ONCE to ``stage_dir`` parquet.
+
+    ``extract_frames`` returns lazy lineages — a consumer like the unified
+    structuring job references the frames six times (cells, kvs, lines ×3,
+    footnotes), and each action re-runs the scan + explode + pdf kernel. At
+    the 100 TB design point that is 6× the most expensive stage. Staging
+    runs extraction once (the exploded spans and raw kernel output are
+    persisted spill-to-disk for the duration of the four frame writes,
+    then released) and returns parquet-backed frames; downstream shuffles
+    then start from columnar storage, and the staged frames double as
+    resume points.
+    """
+    from pyspark import StorageLevel
+
+    s = explode_spans(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    pdf_raw = _pdf_expanded(s.filter(F.col("kind") == "pdf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    frames = _frames_from(s, pdf_raw)
+    spark = documents.sparkSession
+    out: dict[str, DataFrame] = {}
+    try:
+        for name, df in frames.items():
+            path = f"{stage_dir.rstrip('/')}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            out[name] = spark.read.parquet(path)
+    finally:
+        s.unpersist()
+        pdf_raw.unpersist()
+    return out

@@ -52,32 +52,25 @@ def table_points(cells: DataFrame) -> DataFrame:
     the deterministic analog of the reference's per-table LLM structuring
     (structured_llm_processor.py:74-122) with P3's empty/error filtering.
     """
-    hdr = cells.filter(F.col("row_idx") == 0).select(
-        F.col("doc_id").alias("h_doc"),
-        F.col("offset").alias("h_off"),
-        F.col("col_idx").alias("h_col"),
-        F.col("text").alias("header"),
+    # header/label pairing via two windows over ONE scan of the cells frame
+    # (the join formulation scanned cells three times and shuffled twice per
+    # join — at the 100 TB design point the cells frame is the widest
+    # intermediate in the job). max() over the singleton header/label cell
+    # is exact: a dense grid has exactly one row-0 cell per column and one
+    # col-0 cell per row; the not-null filters reproduce the old inner-join
+    # behavior on malformed (non-dense) input.
+    w_col = Window.partitionBy("doc_id", "offset", "col_idx")
+    w_row = Window.partitionBy("doc_id", "offset", "row_idx")
+    paired = cells.withColumn(
+        "header",
+        F.max(F.when(F.col("row_idx") == 0, F.col("text"))).over(w_col),
+    ).withColumn(
+        "label",
+        F.max(F.when(F.col("col_idx") == 0, F.col("text"))).over(w_row),
     )
-    lbl = cells.filter((F.col("col_idx") == 0) & (F.col("row_idx") > 0)).select(
-        F.col("doc_id").alias("l_doc"),
-        F.col("offset").alias("l_off"),
-        F.col("row_idx").alias("l_row"),
-        F.col("text").alias("label"),
-    )
-    data = cells.filter((F.col("row_idx") > 0) & (F.col("col_idx") > 0))
     return (
-        data.join(
-            hdr,
-            (data["doc_id"] == hdr["h_doc"])
-            & (data["offset"] == hdr["h_off"])
-            & (data["col_idx"] == hdr["h_col"]),
-        )
-        .join(
-            lbl,
-            (data["doc_id"] == lbl["l_doc"])
-            & (data["offset"] == lbl["l_off"])
-            & (data["row_idx"] == lbl["l_row"]),
-        )
+        paired.filter((F.col("row_idx") > 0) & (F.col("col_idx") > 0))
+        .filter(F.col("header").isNotNull() & F.col("label").isNotNull())
         .filter(F.trim(F.col("text")) != "")
         .select(
             "doc_id",

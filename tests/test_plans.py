@@ -99,3 +99,19 @@ def test_bucketed_join_eliminates_exchanges(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_docs_bkt")
         spark.sql("DROP TABLE IF EXISTS t_stats_bkt")
+
+
+def test_table_points_single_scan_no_joins(spark, tmp_path):
+    """Header/label pairing must be window-based: ONE scan of the cells
+    frame, no self-joins (the join formulation scanned it three times)."""
+    from pdftableextractor_spark.operators.structure import table_points
+
+    p = str(tmp_path / "cells.parquet")
+    spark.createDataFrame(
+        [("d1", 0, 0, 0, "Metric"), ("d1", 0, 0, 1, "Q1"),
+         ("d1", 0, 1, 0, "alpha"), ("d1", 0, 1, 1, "$5")],
+        ["doc_id", "offset", "row_idx", "col_idx", "text"],
+    ).write.parquet(p)
+    plan = _plan(table_points(spark.read.parquet(p)))
+    assert plan.count("FileScan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
