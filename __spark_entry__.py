@@ -62,6 +62,7 @@ from pdftableextractor_spark.operators.structure import (
     lexical_commentary,
     table_points,
     text_fact_points,
+    unified_data_points,
 )
 from pdftableextractor_spark.operators.multimodal import (
     extract_features,
@@ -532,6 +533,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q37_unified_points"] = q37
+
+    def q38(s, d):
+        # the COMPLETE reference dataflow (app.py:240-364): 4-source union +
+        # dedup + lexical commentary (with footnote 'Line {n}' fallback) +
+        # unmatched-text General Commentary rows — end-to-end
+        frames = extract_frames(
+            interleave_flat_documents(_t(s, d, "documents"))
+        )
+        return unified_data_points(frames).select(
+            "doc_id",
+            F.col("point_id").cast("bigint").alias("point_id"),
+            "source",
+            "type",
+            "field",
+            "value",
+            "page",
+            "commentary",
+            F.col("score").cast("bigint").alias("score"),
+            F.col("matched_line").cast("bigint").alias("matched_line"),
+        )
+
+    q["q38_unified_full"] = q38
 
     q["q34_rollup"] = lambda s, d: (
         _t(s, d, "lineitem")
@@ -1008,8 +1031,49 @@ WHERE {_footnote_sql('content')}
         for name, pat in FACT_PATTERNS.items()
     )
 
-    o["q37_unified_points"] = f"""
-WITH base AS (
+    o["q37_unified_points"] = None  # assigned after _Q37_BODY below
+
+    # q38: the COMPLETE pipeline oracle. Composes the q37 assembly with the
+    # generic lexical scorer (per-point field words/nums, unlike q16's
+    # constants), the footnote commentary fallback, the gaps-and-islands
+    # unmatched-paragraph sessionization, and THREE sentence-truncation
+    # instances (commentary 400/350, paragraph 500/450, then value 400/350)
+    # via the reusable prefix-scan generator below.
+    def _trunc_sql(src, text, keys, trigger, budget, p):
+        ks = ", ".join(keys)
+        return f"""
+{p}_sent AS (
+  SELECT {ks}, unnest(ss) AS s, unnest(range(1, len(ss)+1)) AS i
+  FROM (SELECT {ks},
+               string_split(replace(replace({text}, '!', '.'), '?', '.'), '.')
+                 AS ss
+        FROM {src} WHERE length({text}) > {trigger})
+), {p}_st AS (
+  SELECT {ks}, i, trim(s) AS t,
+         coalesce(sum(length(trim(s)) + 2) OVER (
+           PARTITION BY {ks} ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM {p}_sent
+), {p}_fv AS (
+  SELECT {ks},
+         min(CASE WHEN t = '' OR cum_prev + length(t) >= {budget} THEN i END)
+           AS first_v
+  FROM {p}_st GROUP BY {ks}
+), {p}_acc AS (
+  SELECT {ks},
+         string_agg(t, '. ' ORDER BY i)
+           FILTER (WHERE first_v IS NULL OR i < first_v) AS body
+  FROM {p}_st JOIN {p}_fv USING ({ks})
+  GROUP BY {ks}
+), {p}_out AS (
+  SELECT s.*,
+         CASE WHEN length(s.{text}) <= {trigger} THEN s.{text}
+              WHEN a.body IS NOT NULL THEN a.body || '.'
+              ELSE substr(s.{text}, 1, {trigger}) || '...' END AS {p}_trunc
+  FROM {src} s LEFT JOIN {p}_acc a USING ({ks})
+)"""
+
+    _Q37_BODY = f"""base AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang,
          source AS doc_source, n_chars, {_DOC_H} AS h, {_SENTS} AS sents
   FROM documents
@@ -1061,7 +1125,120 @@ WITH base AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id, field, value
                                ORDER BY src_rank, off, seq) AS rn
   FROM unioned
+)"""
+
+    o["q38_unified_full"] = f"""
+WITH {_Q37_BODY}, pts AS (
+  SELECT doc_id, src_rank, off, seq, source, type, field, value, page,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY src_rank, off, seq, field, value) - 1 AS INT)
+           AS point_id
+  FROM dedup WHERE rn = 1
+), ptprep AS (
+  SELECT doc_id, point_id,
+         list_filter(string_split(replace(lower(field), '_', ' '), ' '),
+                     w -> length(w) > 2) AS field_words,
+         trim(replace(replace(replace(lower(value), '$', ''), '%', ''),
+              ',', '')) AS value_clean
+  FROM pts
+), ptnums AS (
+  SELECT doc_id, point_id, field_words, value_clean,
+         list_filter(regexp_extract_all(value_clean, '\\d+\\.?\\d*'),
+                     n -> length(n) > 1) AS nums
+  FROM ptprep
+), ln AS (
+  SELECT doc_id, line_no, lower(norm) AS line_lower,
+         {_clean_markers_dsql('lower(norm)')} AS line_clean,
+         {_clean_markers_dsql("string_agg(norm, ' ') OVER wctx")} AS context
+  FROM lines
+  WINDOW wctx AS (PARTITION BY doc_id ORDER BY line_no
+                  ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING)
+), scoredc AS (
+  SELECT p.doc_id, p.point_id, l.line_no, l.context,
+         (CASE WHEN length(p.value_clean) > 2
+                AND position(p.value_clean IN l.line_clean) > 0
+               THEN 10 ELSE 0 END
+          + 7 * len(list_filter(p.nums,
+                                n -> position(n IN l.line_clean) > 0))
+          + 2 * len(list_filter(p.field_words,
+                                w -> position(w IN l.line_lower) > 0)))
+           AS score
+  FROM ptnums p JOIN ln l USING (doc_id)
+), best AS (
+  SELECT doc_id, point_id, line_no, score, context AS ctx FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, point_id
+                                 ORDER BY score DESC, line_no) AS rn2
+    FROM scoredc WHERE score >= 7
+  ) WHERE rn2 = 1
+), {_trunc_sql('best', 'ctx', ['doc_id', 'point_id'], 400, 350, 'cm')},
+enriched AS (
+  SELECT p.doc_id, p.src_rank, p.off, p.seq, p.source, p.type, p.field,
+         p.value, p.page,
+         coalesce(c.cm_trunc,
+                  CASE WHEN p.src_rank = 3
+                       THEN 'Line ' || CAST(p.off AS VARCHAR) END,
+                  '') AS commentary,
+         c.score AS score, c.line_no AS matched_line
+  FROM pts p LEFT JOIN cm_out c USING (doc_id, point_id)
+), used AS (
+  SELECT DISTINCT doc_id, line_no FROM best
+), usedctx AS (
+  SELECT DISTINCT doc_id, line_no + d.d AS line_no
+  FROM used, (VALUES (-1), (0), (1)) d(d)
+), avail AS (
+  SELECT l.doc_id, l.line_no, l.norm,
+         (u.line_no IS NULL AND length(trim(l.norm)) > 15) AS usable
+  FROM lines l LEFT JOIN usedctx u USING (doc_id, line_no)
+), isl AS (
+  SELECT *, sum(CASE WHEN usable THEN 0 ELSE 1 END)
+              OVER (PARTITION BY doc_id ORDER BY line_no) AS island
+  FROM avail
+), paras0 AS (
+  SELECT doc_id, island,
+         string_agg(trim(norm), ' ' ORDER BY line_no) AS paragraph,
+         min(line_no) AS first_line
+  FROM isl WHERE usable GROUP BY doc_id, island
+  HAVING length(string_agg(trim(norm), ' ' ORDER BY line_no)) > 50
+), ranked AS (
+  SELECT doc_id, paragraph,
+         row_number() OVER (PARTITION BY doc_id ORDER BY first_line) AS rk
+  FROM paras0
+), p3 AS (
+  SELECT doc_id, CAST(rk - 1 AS INT) AS para_no, paragraph
+  FROM ranked WHERE rk <= 3
+), {_trunc_sql('p3', 'paragraph', ['doc_id', 'para_no'], 500, 450, 'pa')},
+pv AS (
+  SELECT doc_id, para_no, pa_trunc AS ptext FROM pa_out
+), {_trunc_sql('pv', 'ptext', ['doc_id', 'para_no'], 400, 350, 'gv')},
+general AS (
+  SELECT doc_id, 4 AS src_rank, para_no AS off, 0 AS seq,
+         'document_text' AS source, 'General Commentary' AS type,
+         'Text Segment ' || CAST(para_no + 1 AS VARCHAR) AS field,
+         gv_trunc AS value, 'N/A' AS page,
+         'Unmatched document content' AS commentary,
+         NULL AS score, NULL AS matched_line
+  FROM gv_out
+), allrows AS (
+  SELECT doc_id, src_rank, off, seq, source, type, field, value, page,
+         commentary, score, matched_line
+  FROM enriched
+  UNION ALL
+  SELECT doc_id, src_rank, off, seq, source, type, field, value, page,
+         commentary, score, matched_line
+  FROM general
 )
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY src_rank, off, seq, field, value) - 1 AS BIGINT)
+         AS point_id,
+       source, type, field, value, page, commentary,
+       CAST(score AS BIGINT) AS score,
+       CAST(matched_line AS BIGINT) AS matched_line
+FROM allrows
+"""
+
+    o["q37_unified_points"] = f"""
+WITH {_Q37_BODY}
 SELECT doc_id,
        CAST(row_number() OVER (PARTITION BY doc_id
               ORDER BY src_rank, off, seq, field, value) - 1

@@ -49,7 +49,6 @@ def main() -> None:
     )
     args = p.parse_args()
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from pdftableextractor_spark.corpus import write_corpus_parquet
@@ -58,15 +57,7 @@ def main() -> None:
         stage_frames,
     )
     from pdftableextractor_spark.operators.structure import (
-        all_data_points,
-        dedup_first_wins,
-        footnote_points,
-        general_commentary_points,
-        kv_points,
-        lexical_commentary,
-        table_points,
-        text_fact_points,
-        unmatched_paragraphs,
+        unified_data_points,
     )
     from pdftableextractor_spark.session import build_session
 
@@ -86,80 +77,7 @@ def main() -> None:
         frames = stage_frames(docs, args.output.rstrip("/") + ".__stage__")
     else:
         frames = extract_frames(docs)
-    points = dedup_first_wins(
-        all_data_points(
-            table_points(frames["cells"]),
-            kv_points(frames["kvs"]),
-            text_fact_points(
-                frames["lines"].select(
-                    "doc_id", F.col("line_no").alias("offset"), "text"
-                )
-            ),
-            footnote_points(frames["footnotes"]),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        "src_rank", "offset", "seq", "field", "value"
-    )
-    points = points.withColumn(
-        "point_id", (F.row_number().over(w) - 1).cast("int")
-    )
-    commentary = lexical_commentary(
-        points.select("doc_id", "point_id", "field", "value"), frames["lines"]
-    )
-    # commentary precedence (app.py:341-344): lexical match wins; footnote
-    # rows fall back to their 'Line {n}' default (offset IS the raw line_no
-    # for src_rank 3); everything else falls back to ''
-    enriched = points.join(
-        commentary.withColumnRenamed("line_no", "matched_line"),
-        ["doc_id", "point_id"],
-        "left",
-    ).withColumn(
-        "commentary",
-        F.coalesce(
-            F.col("commentary"),
-            F.when(
-                F.col("src_rank") == 3,
-                F.concat(F.lit("Line "), F.col("offset").cast("string")),
-            ),
-            F.lit(""),
-        ),
-    )
-    general = general_commentary_points(
-        unmatched_paragraphs(
-            frames["lines"], commentary.select("doc_id", "line_no")
-        )
-    ).select(
-        "doc_id",
-        "offset",
-        "seq",
-        "source",
-        "type",
-        "field",
-        "value",
-        "page",
-        F.lit(4).alias("src_rank"),
-        F.lit(None).cast("int").alias("point_id"),
-        F.lit(None).cast("int").alias("matched_line"),
-        "commentary",
-        F.lit(None).cast("int").alias("score"),
-    )
-    unified = enriched.select(*general.columns).unionByName(general)
-    w_final = Window.partitionBy("doc_id").orderBy(
-        "src_rank", "offset", "seq", "field", "value"
-    )
-    unified = unified.select(
-        "doc_id",
-        (F.row_number().over(w_final) - 1).cast("int").alias("point_id"),
-        "source",
-        "type",
-        "field",
-        "value",
-        "page",
-        "commentary",
-        "score",
-        "matched_line",
-    )
+    unified = unified_data_points(frames)
     unified.write.mode("overwrite").parquet(args.output)
     wall = time.time() - t0
 

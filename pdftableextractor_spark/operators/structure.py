@@ -249,6 +249,85 @@ def dedup_first_wins(points: DataFrame) -> DataFrame:
     )
 
 
+def unified_data_points(frames: dict) -> DataFrame:
+    """The reference's COMPLETE df_data assembly (app.py:240-364), one
+    DataFrame: 4-source union (tables, kv, text facts, footnotes) →
+    first-wins dedup → per-doc point_id in assembly order → lexical
+    commentary enrichment (match wins; footnote rows fall back to their
+    'Line {n}' default, app.py:341-344; else '') → unmatched-text General
+    Commentary rows appended (src_rank 4) → final point_id.
+
+    frames: the extract_frames dict. Returns (doc_id, point_id, source,
+    type, field, value, page, commentary, score, matched_line)."""
+    pts = dedup_first_wins(
+        all_data_points(
+            table_points(frames["cells"]),
+            kv_points(frames["kvs"]),
+            text_fact_points(
+                frames["lines"].select(
+                    "doc_id", F.col("line_no").alias("offset"), "text"
+                )
+            ),
+            footnote_points(frames["footnotes"]),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        "src_rank", "offset", "seq", "field", "value"
+    )
+    pts = pts.withColumn("point_id", (F.row_number().over(w) - 1).cast("int"))
+    com = lexical_commentary(
+        pts.select("doc_id", "point_id", "field", "value"), frames["lines"]
+    )
+    enriched = pts.join(
+        com.withColumnRenamed("line_no", "matched_line"),
+        ["doc_id", "point_id"],
+        "left",
+    ).withColumn(
+        "commentary",
+        F.coalesce(
+            F.col("commentary"),
+            F.when(
+                F.col("src_rank") == 3,
+                F.concat(F.lit("Line "), F.col("offset").cast("string")),
+            ),
+            F.lit(""),
+        ),
+    )
+    general = general_commentary_points(
+        unmatched_paragraphs(frames["lines"], com.select("doc_id", "line_no"))
+    ).select(
+        "doc_id",
+        "offset",
+        "seq",
+        "source",
+        "type",
+        "field",
+        "value",
+        "page",
+        F.lit(4).alias("src_rank"),
+        F.lit(None).cast("int").alias("point_id"),
+        F.lit(None).cast("int").alias("matched_line"),
+        "commentary",
+        F.lit(None).cast("int").alias("score"),
+    )
+    unified = enriched.select(*general.columns).unionByName(general)
+    w_final = Window.partitionBy("doc_id").orderBy(
+        "src_rank", "offset", "seq", "field", "value"
+    )
+    return unified.select(
+        "doc_id",
+        (F.row_number().over(w_final) - 1).cast("int").alias("point_id"),
+        "source",
+        "type",
+        "field",
+        "value",
+        "page",
+        "commentary",
+        "score",
+        "matched_line",
+    )
+
+
 # ---------------------------------------------------------------------------
 # A7 — sentence-aware chunker (sequential per doc → Arrow kernel)
 # ---------------------------------------------------------------------------
