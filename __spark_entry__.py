@@ -50,6 +50,7 @@ from pdftableextractor_spark.operators.similarity import (
     _hyperplanes,
     cosine_topk,
     ivf_topk,
+    kmeans_cells,
     lsh_topk,
 )
 from pdftableextractor_spark.operators.structure import (
@@ -397,6 +398,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q35_lsh_topk"] = lambda s, d: lsh_topk(
         _t(s, d, "embeddings"), _qvec(s, d), k=10
     )
+
+    # kmeans cell assignment (IVF without labels): deterministic Lloyd
+    # iterations over the embeddings table, labels IGNORED
+    q["q39_kmeans_cells"] = lambda s, d: kmeans_cells(
+        _t(s, d, "embeddings").select("vec_id", "embedding"), k=8, iters=3
+    ).select("vec_id", F.col("cell").cast("bigint").alias("cell"))
 
     # ----- text analysis -----
     q["q26_token_count"] = lambda s, d: token_count(_docs_str(s, d)).select(
@@ -1360,6 +1367,51 @@ SELECT e.vec_id,
 FROM embeddings e JOIN probe p ON e.label = p.cell
 ORDER BY cos DESC, e.vec_id LIMIT 10
 """
+
+    # q39: 3 Lloyd iterations UNROLLED as CTE chains (k-means is iterative,
+    # but the iteration count is a fixed constant, so the oracle is still
+    # one static SQL). Init = md5-ordered deterministic sample; assignment =
+    # argmax centroid cosine (ties → lowest cell, matching np.argmax);
+    # update = per-(cell, dim) mean with empty cells carrying forward.
+    _KM_K, _KM_ITERS = 8, 3
+    _km = [
+        """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+        f"""init AS (
+  SELECT v, CAST(row_number() OVER (
+      ORDER BY md5('km:9:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+    AS cell
+  FROM e ORDER BY md5('km:9:' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_KM_K})""",
+        """dims AS (
+  SELECT vec_id, unnest(v) AS dv, unnest(range(len(v))) AS dim FROM e)""",
+        """c0 AS (SELECT cell, v AS centroid FROM init)""",
+    ]
+    for it in range(1, _KM_ITERS + 1):
+        _km.append(f"""a{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell)
+             AS rn
+    FROM e CROSS JOIN c{it - 1} c) WHERE rn = 1)""")
+        _km.append(f"""u{it} AS (
+  SELECT cell, list(m ORDER BY dim) AS centroid FROM (
+    SELECT a.cell, d.dim, avg(d.dv) AS m
+    FROM a{it} a JOIN dims d USING (vec_id)
+    GROUP BY a.cell, d.dim) GROUP BY cell)""")
+        _km.append(f"""c{it} AS (
+  SELECT p.cell, coalesce(u.centroid, p.centroid) AS centroid
+  FROM c{it - 1} p LEFT JOIN u{it} u USING (cell))""")
+    o["q39_kmeans_cells"] = (
+        "WITH " + ",\n".join(_km) + f"""
+SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+  SELECT e.vec_id, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell)
+           AS rn
+  FROM e CROSS JOIN c{_KM_ITERS} c) WHERE rn = 1
+"""
+    )
 
     o["q26_token_count"] = f"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
