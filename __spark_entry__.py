@@ -67,6 +67,8 @@ from pdftableextractor_spark.operators.structure import (
 )
 from pdftableextractor_spark.operators.multimodal import (
     extract_features,
+    resize_assets,
+    sample_frames,
     synth_assets,
 )
 from pdftableextractor_spark.operators.textstats import (
@@ -433,6 +435,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q30_multimodal_meta"] = lambda s, d: extract_features(
         synth_assets(_docs_str(s, d))
     ).select("asset_id", "kind", "n_bytes", "sha")
+
+    # resize + frame-sample plumbing (codec outputs are deterministic
+    # sha-derived fakes; the schema/fan-out/partitioning are the real parts)
+    q["q40_resize_plumbing"] = lambda s, d: resize_assets(
+        synth_assets(_docs_str(s, d)), 640, 480
+    ).select(
+        "asset_id",
+        "kind",
+        F.col("meta.width").cast("bigint").alias("width"),
+        F.col("meta.height").cast("bigint").alias("height"),
+        F.lower(F.hex(F.col("payload"))).alias("resized_sha"),
+    )
+
+    q["q41_frame_sample"] = lambda s, d: sample_frames(
+        synth_assets(_docs_str(s, d)), every_ms=5000
+    ).select(
+        "asset_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("ts_ms").cast("bigint").alias("ts_ms"),
+        F.lower(F.hex(F.col("frame"))).alias("frame_sha"),
+    )
 
     # ----- dynamic-schema export (P10 column union) -----
     def q31(s, d):
@@ -1523,6 +1546,31 @@ SELECT l_returnflag, l_linestatus, count(*) AS n,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 4) AS qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+    o["q40_resize_plumbing"] = f"""
+SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
+       LIST_VALUE('image', 'audio', 'video')[({_DOC_H} % 3) + 1] AS kind,
+       640 AS width, 480 AS height,
+       sha256(text || '640x480') AS resized_sha
+FROM documents
+"""
+
+    o["q41_frame_sample"] = f"""
+WITH v AS (
+  SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
+         text AS payload,
+         ({_DOC_H} % 59000 + 1000) AS duration_ms
+  FROM documents
+  WHERE LIST_VALUE('image', 'audio', 'video')[({_DOC_H} % 3) + 1] = 'video'
+)
+SELECT asset_id,
+       CAST(ts_ms // 5000 AS BIGINT) AS frame_idx,
+       CAST(ts_ms AS BIGINT) AS ts_ms,
+       sha256(payload || CAST(ts_ms AS VARCHAR)) AS frame_sha
+FROM (SELECT asset_id, payload,
+             unnest(range(0, duration_ms + 1, 5000)) AS ts_ms
+      FROM v)
 """
 
     o["q30_multimodal_meta"] = f"""

@@ -55,8 +55,67 @@ def synth_assets(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 .cast("bigint")
                 % 768
             ).cast("int").alias("height"),
-            F.lit(0).cast("int").alias("duration_ms"),
+            # video assets get a 1-60 s duration so frame sampling has
+            # something to walk; image/audio stay 0
+            F.when(kind == "video", (h % 59000 + 1000))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("duration_ms"),
         ).alias("meta"),
+    )
+
+
+def resize_assets(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing (codec stubbed): the REAL parts are the asset schema,
+    the metadata update, and that the whole op is a narrow JVM projection —
+    no shuffle, no Python. The re-encoded payload is a deterministic fake
+    (unhex(sha2(payload || 'WxH')) — 32 bytes standing in for the codec
+    output); a real deployment swaps the payload expression for a Pandas-UDF
+    PIL resize with the SAME schema."""
+    tag = F.encode(F.lit(f"{width}x{height}"), "utf-8")
+    return assets.select(
+        "asset_id",
+        "kind",
+        F.unhex(F.sha2(F.concat(F.col("payload"), tag), 256)).alias("payload"),
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 5000) -> DataFrame:
+    """Frame sampling for video assets: one row per sampled timestamp
+    (0, every_ms, 2·every_ms, … ≤ duration_ms). Pure JVM: sequence+explode
+    fan-out, deterministic fake frame bytes (unhex(sha2(payload || ts))).
+    The fan-out happens BEFORE any shuffle, so a 2-hour video is
+    duration/every_ms parallel rows, not one task — the same skew posture
+    as the pdf layout kernel."""
+    v = assets.filter(F.col("kind") == "video")
+    expanded = v.select(
+        "asset_id",
+        "payload",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms)
+            )
+        ).alias("ts_ms"),
+    )
+    return expanded.select(
+        "asset_id",
+        (F.col("ts_ms") / every_ms).cast("int").alias("frame_idx"),
+        F.col("ts_ms").cast("int").alias("ts_ms"),
+        F.unhex(
+            F.sha2(
+                F.concat(
+                    F.col("payload"),
+                    F.encode(F.col("ts_ms").cast("string"), "utf-8"),
+                ),
+                256,
+            )
+        ).alias("frame"),
     )
 
 

@@ -244,3 +244,42 @@ def test_simhash_multiband_exact_recall_vs_quadratic(spark):
     }
     assert exact, "test corpus produced no close pairs — vacuous"
     assert banded == exact
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    """Resize keeps one row per asset with updated dims; frame sampling
+    fans a video out to duration//every+1 rows BEFORE any shuffle, with
+    deterministic per-timestamp frame bytes."""
+    from pdftableextractor_spark.operators.multimodal import (
+        resize_assets,
+        sample_frames,
+        synth_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body text {i}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    assets = synth_assets(docs.withColumn("doc_id", F.col("doc_id").cast("string")))
+    rz = resize_assets(assets, 640, 480)
+    rows = rz.collect()
+    assert len(rows) == 30
+    assert all(r["meta"]["width"] == 640 and r["meta"]["height"] == 480 for r in rows)
+    assert all(len(r["payload"]) == 32 for r in rows)  # fake re-encode = sha256
+
+    vids = {r["asset_id"]: r["meta"]["duration_ms"]
+            for r in assets.filter(F.col("kind") == "video").collect()}
+    assert vids, "corpus planted no video assets — vacuous"
+    frames = sample_frames(assets, every_ms=5000).collect()
+    got = {}
+    for r in frames:
+        got.setdefault(r["asset_id"], []).append((r["frame_idx"], r["ts_ms"]))
+    assert set(got) == set(vids)
+    for aid, dur in vids.items():
+        idx = sorted(got[aid])
+        assert idx == [(i, i * 5000) for i in range(dur // 5000 + 1)]
+    # deterministic: same frame bytes on recompute
+    again = {(r["asset_id"], r["ts_ms"]): bytes(r["frame"])
+             for r in sample_frames(assets, every_ms=5000).collect()}
+    first = {(r["asset_id"], r["ts_ms"]): bytes(r["frame"]) for r in frames}
+    assert first == again
