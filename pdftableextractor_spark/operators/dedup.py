@@ -294,6 +294,25 @@ def simhash_near_dups(
     )
 
 
+def embedding_near_dups_unlabeled(
+    embeddings: DataFrame,
+    k: int = 16,
+    threshold: float = 0.99,
+    iters: int = 3,
+) -> DataFrame:
+    """embedding_near_dups for corpora with NO cluster/label column: k-means
+    cells (similarity.kmeans_cells, deterministic) become the blocking key.
+    Near-identical vectors land in the same cell by construction (cosine
+    assignment), so the blocked pair join keeps the recall of the labeled
+    path while staying O(n²/k) instead of all-pairs."""
+    from pdftableextractor_spark.operators.similarity import kmeans_cells
+
+    assigned = kmeans_cells(embeddings, k=k, iters=iters).withColumn(
+        "cell", F.col("cell").cast("string")
+    )
+    return embedding_near_dups(assigned, block_col="cell", threshold=threshold)
+
+
 def simhash_near_dups_multiband(
     docs: DataFrame,
     text_col: str = "text",

@@ -283,3 +283,34 @@ def test_resize_and_frame_sample_plumbing(spark):
              for r in sample_frames(assets, every_ms=5000).collect()}
     first = {(r["asset_id"], r["ts_ms"]): bytes(r["frame"]) for r in frames}
     assert first == again
+
+
+def test_embedding_near_dups_unlabeled_recall(spark):
+    """Planted near-identical pairs must be found with NO label column —
+    k-means cells supply the blocking key."""
+    import numpy as np
+
+    from pdftableextractor_spark.operators.dedup import (
+        embedding_near_dups_unlabeled,
+    )
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((6, 24)) * 4.0
+    rows = []
+    for i in range(180):
+        v = centers[i % 6] + rng.standard_normal(24) * 0.25
+        rows.append((i, [float(x) for x in v]))
+    # plant 5 near-dup pairs: vec 1000+j is vec j plus a tiny perturbation
+    for j in range(5):
+        v = np.array(rows[j][1]) + rng.standard_normal(24) * 1e-4
+        rows.append((1000 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])  # NO label
+
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dups_unlabeled(
+            emb, k=6, threshold=0.999
+        ).collect()
+    }
+    for j in range(5):
+        assert (j, 1000 + j) in pairs, f"planted dup {j} missed"
