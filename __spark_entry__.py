@@ -457,6 +457,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.lower(F.hex(F.col("frame"))).alias("frame_sha"),
     )
 
+    # P9: recursive nested flatten → JS-style (path, value) rows
+    def q42(s, d):
+        from pdftableextractor_spark.operators.export import flatten_nested
+
+        return flatten_nested(
+            interleave_flat_documents(_t(s, d, "documents")),
+            id_cols=("doc_id",),
+        )
+
+    q["q42_flatten_nested"] = q42
+
     # ----- dynamic-schema export (P10 column union) -----
     def q31(s, d):
         from pdftableextractor_spark.operators.export import key_union_pivot
@@ -1515,6 +1526,46 @@ WITH w AS (
 SELECT doc_id, md5(text) AS content_md5,
        array_to_string(hs[1:8], '') AS fingerprint
 FROM sh
+"""
+
+    o["q42_flatten_nested"] = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang,
+         source AS dsrc, n_chars, {_DOC_H} AS h, {_SENTS} AS sents
+  FROM documents
+), spans AS (
+  SELECT doc_id, 0 AS idx, 'boiler' AS kind,
+         {boiler_arr}[{boiler_idx} + 1] AS stext, '' AS media_ref,
+         0 AS off FROM base
+  UNION ALL
+  SELECT doc_id, CAST(unnest(range(1, len(sents)+1)) AS INT), 'text',
+         unnest(sents), '', CAST(unnest(range(1, len(sents)+1)) AS INT)
+  FROM base
+  UNION ALL
+  SELECT doc_id, len(sents)+1, 'table',
+         'r0c0:Metric' || chr(31) || 'r0c1:Value' || chr(31) ||
+         'r1c0:chars' || chr(31) || 'r1c1:' || CAST(n_chars AS VARCHAR) ||
+         chr(31) || 'r2c1:' || CAST(h % 1000 AS VARCHAR),
+         '', len(sents)+1 FROM base
+  UNION ALL
+  SELECT doc_id, len(sents)+2, 'kv', 'Language' || chr(31) || lang, '',
+         len(sents)+2 FROM base
+  UNION ALL
+  SELECT doc_id, len(sents)+3, 'kv', 'Source' || chr(31) || dsrc, '',
+         len(sents)+3 FROM base
+  UNION ALL
+  SELECT doc_id, len(sents)+4, 'media', '', 'asset-' || doc_id,
+         len(sents)+4 FROM base
+  UNION ALL
+  SELECT doc_id, len(sents)+5, 'text', {foot_arr}[{foot_idx} + 1], '',
+         len(sents)+5 FROM base
+)
+SELECT doc_id,
+       'spans[' || CAST(idx AS VARCHAR) || '].' || f.k AS path,
+       CASE f.k WHEN 'kind' THEN kind WHEN 'text' THEN stext
+                WHEN 'media_ref' THEN media_ref
+                ELSE CAST(off AS VARCHAR) END AS value
+FROM spans, (VALUES ('kind'), ('text'), ('media_ref'), ('offset')) f(k)
 """
 
     o["q31_column_union"] = """

@@ -71,6 +71,82 @@ def write_json(df: DataFrame, path: str, map_col: str | None = "data") -> None:
     out.write.mode("overwrite").json(path)
 
 
+# --- P9: recursive nested flatten (static/script.js:668-783) ----------------
+
+
+def flatten_nested(df: DataFrame, id_cols=("doc_id",)) -> DataFrame:
+    """Arbitrary nested columns → long-skinny (ids..., path, value) rows
+    with JS-style paths ('spans[3].kind') — the reference's recursive JSON
+    flatten (script.js:668-783), re-expressed schema-driven: the expansion
+    plan is built ONCE from the static schema (posexplode per array level,
+    one leaf-unpivot per nesting context), so the whole flatten is JVM
+    expression work — no per-row recursion. Null leaves are dropped (the
+    JS walk skips null/undefined). Returns one DataFrame per nesting
+    context unioned by name; scans scale with schema depth, not data."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    ids = list(id_cols)
+    frames: list[DataFrame] = []
+
+    def emit(ctx_df: DataFrame, leaves) -> None:
+        if not leaves:
+            return
+        pv = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        p.alias("path"), c.cast("string").alias("value")
+                    )
+                    for p, c in leaves
+                ]
+            )
+        ).alias("pv")
+        frames.append(
+            ctx_df.select(*ids, pv)
+            .select(*ids, F.col("pv.path").alias("path"),
+                    F.col("pv.value").alias("value"))
+            .filter(F.col("value").isNotNull())
+        )
+
+    def walk(ctx_df: DataFrame, prefix, col, dtype, leaves) -> None:
+        if isinstance(dtype, StructType):
+            for f in dtype.fields:
+                walk(
+                    ctx_df,
+                    F.concat(prefix, F.lit("." + f.name)),
+                    col.getField(f.name),
+                    f.dataType,
+                    leaves,
+                )
+        elif isinstance(dtype, ArrayType):
+            exploded = ctx_df.select(
+                *ids,
+                prefix.alias("__p"),
+                F.posexplode_outer(col).alias("__i", "__v"),
+            ).filter(F.col("__v").isNotNull())
+            sub_prefix = F.concat(
+                F.col("__p"), F.lit("["), F.col("__i").cast("string"),
+                F.lit("]"),
+            )
+            sub_leaves: list = []
+            walk(exploded, sub_prefix, F.col("__v"), dtype.elementType,
+                 sub_leaves)
+            emit(exploded, sub_leaves)
+        else:
+            leaves.append((prefix, col))
+
+    top_leaves: list = []
+    for f in df.schema.fields:
+        if f.name in ids:
+            continue
+        walk(df, F.lit(f.name), F.col(f.name), f.dataType, top_leaves)
+    emit(df, top_leaves)
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
 # --- S9: PDF export sink (export_utils.py:10-103) ---------------------------
 
 

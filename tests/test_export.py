@@ -111,3 +111,35 @@ def test_write_pdf_paginates(spark, tmp_path):
                            rows_per_page=40)
     assert pdf.count(b"/Type /Page ") == 3  # 95 rows @ 40/page
     assert b"/Count 3" in pdf
+
+
+def test_flatten_nested_deep_paths(spark):
+    """P9: JS-style path enumeration through structs and nested arrays,
+    null leaves dropped."""
+    from pdftableextractor_spark.operators.export import flatten_nested
+
+    df = spark.createDataFrame(
+        [
+            (
+                "d1",
+                "plain",
+                {"x": 1, "ys": [10, 20]},
+                [{"name": "a", "tags": ["t1", "t2"]},
+                 {"name": None, "tags": []}],
+            )
+        ],
+        "doc_id string, top string, "
+        "s struct<x:int, ys:array<int>>, "
+        "items array<struct<name:string, tags:array<string>>>",
+    )
+    got = {(r["path"], r["value"]) for r in flatten_nested(df).collect()}
+    assert got == {
+        ("top", "plain"),
+        ("s.x", "1"),
+        ("s.ys[0]", "10"),
+        ("s.ys[1]", "20"),
+        ("items[0].name", "a"),
+        ("items[0].tags[0]", "t1"),
+        ("items[0].tags[1]", "t2"),
+        # items[1].name is NULL → dropped; items[1].tags is empty → no rows
+    }
