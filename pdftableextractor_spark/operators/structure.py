@@ -238,14 +238,25 @@ def all_data_points(
 def dedup_first_wins(points: DataFrame) -> DataFrame:
     """A6: keep the first occurrence per (doc_id, field, value) in assembly
     order — dropDuplicates would be order-unstable, so this is a window
-    (structured_llm_processor.py:481-488 'seen_data' semantics)."""
-    w = Window.partitionBy("doc_id", "field", "value").orderBy(
-        "src_rank", "offset", "seq"
+    (structured_llm_processor.py:481-488 'seen_data' semantics).
+
+    Shuffle shape: partitioned by doc_id ONLY, sorted by (field, value,
+    src_rank, offset, seq); a row wins iff it starts a (field, value) run.
+    Equivalent to a row_number window partitioned by (doc_id, field, value)
+    but exchanges on the same key as every downstream per-doc window
+    (point_id, commentary), so the whole points path shares ONE shuffle."""
+    w = Window.partitionBy("doc_id").orderBy(
+        "field", "value", "src_rank", "offset", "seq"
+    )
+    first = (
+        F.lag("field").over(w).isNull()
+        | (F.lag("field").over(w) != F.col("field"))
+        | (F.lag("value").over(w) != F.col("value"))
     )
     return (
-        points.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        points.withColumn("__first", first)
+        .filter(F.col("__first"))
+        .drop("__first")
     )
 
 
