@@ -1465,18 +1465,28 @@ WITH t AS (
          len({_WORDS}) AS ntok,
          len(list_filter({_WORDS}, x -> {stop_in})) AS stop_hits
   FROM documents
+), i AS (
+  -- exact integer formulation of the composite (mirrors quality_score):
+  -- float round() at .5 ties differs across engines, so N·10^6/D is
+  -- rounded HALF_UP in HUGEINT arithmetic
+  SELECT doc_id, chars, punct, ntok, stop_hits,
+         CAST(least(chars, 2000) AS HUGEINT) AS m,
+         CAST(greatest(ntok, 1) AS HUGEINT) AS n,
+         CAST(greatest(chars, 1) AS HUGEINT) AS c,
+         CAST(stop_hits AS HUGEINT) AS s,
+         CAST(punct AS HUGEINT) AS p
+  FROM t
 )
 SELECT doc_id,
-  round(least(chars, 2000) / 2000.0, 6) AS len_score,
+  round(least(chars, 2000) / CAST(2000.0 AS DOUBLE), 6) AS len_score,
   round(punct / greatest(chars, 1), 6) AS punct_ratio,
   round(stop_hits / greatest(ntok, 1), 6) AS stop_ratio,
-  round(0.4 * (least(chars, 2000) / 2000.0)
-      + 0.3 * least((stop_hits / greatest(ntok, 1)) * 3, 1.0)
-      + 0.3 * (1.0 - least((punct / greatest(chars, 1)) * 5, 1.0)), 6)
-    AS quality
-FROM t
+  CAST(((2 * m * n * c + 3000 * c * least(3 * s, n)
+         + 3000 * n * (c - least(5 * p, c))) * 2000000
+        + 10000 * n * c) // (2 * 10000 * n * c) AS DOUBLE)
+    / CAST(1000000.0 AS DOUBLE) AS quality
+FROM i
 """
-
     hit_exprs = []
     for lg, markers in sorted(LANG_MARKERS.items()):
         if lg == "zh":

@@ -57,17 +57,35 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     len_score = F.least(chars, F.lit(2000)) / F.lit(2000.0)
     punct_ratio = punct / F.greatest(chars, F.lit(1))
     stop_ratio = stop_hits / F.greatest(F.size(toks), F.lit(1))
-    score = (
-        F.lit(0.4) * len_score
-        + F.lit(0.3) * F.least(stop_ratio * 3, F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+    # the composite is an exact rational N/D whose 6-digit rounding often
+    # lands EXACTLY on .5 ties (denominators are 10-smooth); float round()
+    # semantics at ties differ across engines (Spark rounds the exact
+    # binary, DuckDB a float multiply), so the rounding is done in exact
+    # integer arithmetic: q6 = HALF_UP(N·10^6 / D), quality = q6 / 10^6.
+    #   N/D = 0.4·m/2000 + 0.3·min(3s/n, 1) + 0.3·(1 − min(5p/c, 1))
+    #   with D = 10^4·n·c
+    dec = lambda col: col.cast("decimal(38,0)")
+    m = dec(F.least(chars, F.lit(2000)))
+    n = dec(F.greatest(F.size(toks), F.lit(1)))
+    c = dec(F.greatest(chars, F.lit(1)))
+    s_ = dec(stop_hits)
+    p_ = dec(punct)
+    num = (
+        F.lit(2) * m * n * c
+        + F.lit(3000) * c * F.least(F.lit(3) * s_, n)
+        + F.lit(3000) * n * (c - F.least(F.lit(5) * p_, c))
     )
+    den = F.lit(10000) * n * c
+    q6 = F.floor((num * F.lit(2_000_000) + den) / (F.lit(2) * den))
+    # the single-division ratios are safe to round as doubles: with n, c
+    # bounded by document size their values sit ≥ 1/(2e6·n) away from any
+    # .5 tie unless exactly dyadic — and both engines agree on exact ties
     return docs.select(
         "doc_id",
         F.round(len_score, 6).alias("len_score"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(score, 6).alias("quality"),
+        (q6.cast("double") / F.lit(1000000.0)).alias("quality"),
     )
 
 

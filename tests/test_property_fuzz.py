@@ -109,3 +109,29 @@ def test_pipeline_matches_oracle_on_fuzzed_docs(spark, docs):
 @example(payload="0\x1f0\x1f0\x1f0\x1f:")
 def test_layout_kernel_matches_oracle_on_fuzzed_pages(payload):
     assert layout_page(payload) == oracle._pdf_lines(payload)
+
+
+@settings(max_examples=15, deadline=None)
+@given(docs=st.lists(documents(), min_size=1, max_size=4))
+def test_footnote_frame_matches_oracle_on_fuzzed_docs(spark, docs):
+    """Raw-line numbering + footnote classification must agree with the
+    pure-Python oracle on adversarial span mixes (regex metacharacters,
+    junk kinds, malformed payloads)."""
+    from pdftableextractor_spark.operators.extract import extract_frames
+    from tests.test_structure import oracle_footnotes
+
+    for i, d in enumerate(docs):
+        d["doc_id"] = f"fuzz-{i}"
+    sdf = spark.createDataFrame(
+        [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {}
+    for r in extract_frames(sdf)["footnotes"].collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["line_no"], r["marker"], r["content"])
+        )
+    for d in docs:
+        exp = oracle_footnotes(d)
+        assert sorted(got.get(d["doc_id"], [])) == sorted(exp), d["doc_id"]
