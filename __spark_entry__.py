@@ -163,15 +163,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q05_context_window"] = lambda s, d: _t(s, d, "events").select(
         "event_id",
         F.round(
-            F.sum(F.col("value").cast("decimal(20,6)"))
-            .over(
+            F.sum(F.col("value").cast("decimal(20,6)")).over(
                 Window.partitionBy("user_id")
                 .orderBy("ts", "event_id")
                 .rowsBetween(-1, 2)
-            )
-            .cast("double"),
+            ),
             6,
-        ).alias("ctx_sum"),
+        ).cast("double").alias("ctx_sum"),
     )
 
     q["q06_dedup_first_wins"] = lambda s, d: (
@@ -203,8 +201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sess.groupBy("user_id", "session_id").agg(
             F.count("*").cast("bigint").alias("n_events"),
             F.round(
-                F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 6
-            ).alias("val_sum"),
+                F.sum(F.col("value").cast("decimal(20,6)")), 6
+            ).cast("double").alias("val_sum"),
         )
 
     q["q07_sessionize"] = q07
@@ -270,9 +268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             F.col("l_linestatus") == st,
                             F.col("l_quantity").cast("decimal(20,6)"),
                         ).otherwise(F.lit(0).cast("decimal(20,6)"))
-                    ).cast("double"),
+                    ),
                     6,
-                ).alias(f"qty_{st.lower()}")
+                ).cast("double").alias(f"qty_{st.lower()}")
                 for st in ("F", "O")
             ]
         )
@@ -292,12 +290,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             * (1 + F.col("l_tax"))
         ).cast("decimal(20,6)")
         return li.groupBy("l_returnflag", "l_linestatus").agg(
-            F.round(F.sum(dec("l_quantity")).cast("double"), 4).alias("sum_qty"),
-            F.round(F.sum(dec("l_extendedprice")).cast("double"), 4).alias(
+            F.round(F.sum(dec("l_quantity")), 4).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 4).cast("double").alias(
                 "sum_base_price"
             ),
-            F.round(F.sum(disc_price).cast("double"), 4).alias("sum_disc_price"),
-            F.round(F.sum(charge).cast("double"), 4).alias("sum_charge"),
+            F.round(F.sum(disc_price), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).cast("double").alias("sum_charge"),
             F.round(F.avg(dec("l_quantity")).cast("double"), 4).alias("avg_qty"),
             F.round(F.avg(dec("l_extendedprice")).cast("double"), 4).alias(
                 "avg_price"
@@ -504,11 +502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return j.groupBy("r_name").agg(
             F.count("*").cast("bigint").alias("n_orders"),
             F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(20,6)")).cast(
-                    "double"
-                ),
-                4,
-            ).alias("total_price"),
+                F.sum(F.col("o_totalprice").cast("decimal(20,6)")), 4
+            ).cast("double").alias("total_price"),
         )
 
     q["q32_star_join_agg"] = q32
@@ -603,9 +598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .agg(
             F.count("*").cast("bigint").alias("n"),
             F.round(
-                F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast("double"),
-                4,
-            ).alias("qty"),
+                F.sum(F.col("l_quantity").cast("decimal(20,6)")), 4
+            ).cast("double").alias("qty"),
         )
     )
 
@@ -718,9 +712,9 @@ FROM events
 
     o["q05_context_window"] = """
 SELECT event_id,
-       round(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (
+       CAST(round(sum(CAST(value AS DECIMAL(20,6))) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS DOUBLE), 6) AS ctx_sum
+         ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING), 6) AS DOUBLE) AS ctx_sum
 FROM events
 """
 
@@ -749,7 +743,7 @@ WITH g AS (
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 6) AS val_sum
+       CAST(round(sum(CAST(value AS DECIMAL(20,6))), 6) AS DOUBLE) AS val_sum
 FROM s GROUP BY user_id, session_id
 """
 
@@ -786,21 +780,21 @@ SELECT s_name AS name, 'supplier' AS src FROM supplier
 
     o["q12_grid_pivot"] = """
 SELECT l_returnflag,
-       round(CAST(sum(CASE WHEN l_linestatus = 'F'
+       CAST(round(sum(CASE WHEN l_linestatus = 'F'
              THEN CAST(l_quantity AS DECIMAL(20,6))
-             ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE), 6) AS qty_f,
-       round(CAST(sum(CASE WHEN l_linestatus = 'O'
+             ELSE CAST(0 AS DECIMAL(20,6)) END), 6) AS DOUBLE) AS qty_f,
+       CAST(round(sum(CASE WHEN l_linestatus = 'O'
              THEN CAST(l_quantity AS DECIMAL(20,6))
-             ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE), 6) AS qty_o
+             ELSE CAST(0 AS DECIMAL(20,6)) END), 6) AS DOUBLE) AS qty_o
 FROM lineitem GROUP BY l_returnflag
 """
 
     o["q13_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-  round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 4) AS sum_qty,
-  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE), 4) AS sum_base_price,
-  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE), 4) AS sum_disc_price,
-  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6))) AS DOUBLE), 4) AS sum_charge,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(20,6))), 4) AS DOUBLE) AS sum_qty,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,6))), 4) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))), 4) AS DOUBLE) AS sum_disc_price,
+  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6))), 4) AS DOUBLE) AS sum_charge,
   round(CAST(avg(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 4) AS avg_qty,
   round(CAST(avg(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE), 4) AS avg_price,
   round(CAST(avg(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE), 4) AS avg_disc,
@@ -1587,7 +1581,7 @@ FROM part
 
     o["q32_star_join_agg"] = """
 SELECT r_name, count(*) AS n_orders,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE), 4)
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 4) AS DOUBLE)
          AS total_price
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -1604,7 +1598,7 @@ WHERE c_acctbal > (SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(20,6)))
 
     o["q34_rollup"] = """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 4) AS qty
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(20,6))), 4) AS DOUBLE) AS qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
