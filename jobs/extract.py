@@ -42,19 +42,37 @@ def main() -> None:
         inp = args.output.rstrip("/") + ".__input__.parquet"
         write_corpus_parquet(inp, args.gen_docs, seed=args.seed)
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     t0 = time.time()
     docs = spark.read.parquet(inp)
-    out = extract_spans(docs)
+    # observation metrics ride the write job itself (SURVEY §4 "cost
+    # accounting as cross-cutting concern" → accumulators): per-kind span
+    # counts with NO second scan of the output
+    obs = Observation("extract")
+    out = extract_spans(docs).observe(
+        obs,
+        F.count(F.lit(1)).alias("spans_out"),
+        *[
+            F.sum((F.col("kind") == k).cast("long")).alias(f"kind_{k}")
+            for k in ("text", "table_cell", "kv", "media")
+        ],
+    )
     out.write.mode("overwrite").parquet(args.output)
     wall = time.time() - t0
+    m = obs.get
 
     n_docs = spark.read.parquet(inp).count()
-    n_spans = spark.read.parquet(args.output).count()
     print(
         json.dumps(
             {
                 "docs": n_docs,
-                "spans_out": n_spans,
+                "spans_out": m["spans_out"],
+                "by_kind": {
+                    k: m[f"kind_{k}"]
+                    for k in ("text", "table_cell", "kv", "media")
+                },
                 "sec": round(wall, 3),
                 "docs_per_sec": round(n_docs / wall, 2),
             }
