@@ -388,7 +388,10 @@ def _clean_markers_col(col):
 
 
 def lexical_commentary(
-    points: DataFrame, lines: DataFrame, threshold: int = 7
+    points: DataFrame,
+    lines: DataFrame,
+    threshold: int = 7,
+    salt: int = 8,
 ) -> DataFrame:
     """Score every (data point × same-doc line) pair and keep the argmax
     context per point (app.py:81-156):
@@ -399,26 +402,44 @@ def lexical_commentary(
       keep score >= 7; context = lines[i-1 .. i+2] joined, marker-cleaned;
       >400 chars → accumulate whole sentences while < 350, else [:400]+'...'
 
-    All scoring is built-in-expression work after an equi-join on doc_id —
-    the per-document line sets are small (SURVEY.md §2.3 J5), so this is a
-    partition-local nested loop the optimizer handles; no Python.
+    Scale shape (profiled at 10k heavy-tailed docs): the per-doc pair work
+    is quadratic, so a plain doc_id equi-join makes every heavy document ONE
+    straggler task. Two structural fixes, both semantics-free:
+      * the join key is (doc_id, point_id % salt) with the line side
+        exploded over the salt range — a heavy doc's points spread over
+        ``salt`` tasks (the byte-size-based AQE skew split never fires on
+        these CPU-heavy but byte-small groups);
+      * the per-point argmax is a hash aggregation (max_by over the
+        (score, −line_no) order key) instead of a rank window — partial
+        aggregation combines map-side, so the shuffle carries one row per
+        (point, partial) instead of every scored pair.
 
     points: (doc_id, point_id, field, value); lines: (doc_id, line_no, text)
     → (doc_id, point_id, commentary, score)
     """
+    # the fat context strings stay OUT of the quadratic join: scoring needs
+    # only the single-line lower/clean columns; the −1/+2 context window is
+    # a separate slim frame joined back for WINNING points only
     w_ctx = Window.partitionBy("doc_id").orderBy("line_no").rowsBetween(-1, 2)
+    ln_ctx = lines.select(
+        "doc_id",
+        "line_no",
+        _clean_markers_col(
+            F.array_join(F.collect_list("text").over(w_ctx), " ")
+        ).alias("context"),
+    )
     ln = lines.select(
         "doc_id",
         "line_no",
         F.lower(F.col("text")).alias("line_lower"),
         _clean_markers_col(F.lower(F.col("text"))).alias("line_clean"),
-        _clean_markers_col(
-            F.array_join(F.collect_list("text").over(w_ctx), " ")
-        ).alias("context"),
+    ).withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     pt = points.select(
         "doc_id",
         "point_id",
+        F.pmod(F.col("point_id"), F.lit(salt)).alias("__salt"),
         F.filter(
             F.split(F.regexp_replace(F.lower(F.col("field")), "_", " "), " "),
             lambda x: F.length(x) > 2,
@@ -433,7 +454,7 @@ def lexical_commentary(
             lambda x: F.length(x) > 1,
         ).alias("nums"),
     )
-    j = pt.join(ln, "doc_id")
+    j = pt.join(ln, ["doc_id", "__salt"])
     score = (
         F.when(
             (F.length("value_clean") > 2)
@@ -448,15 +469,20 @@ def lexical_commentary(
         )
     )
     scored = j.withColumn("score", score).filter(F.col("score") >= threshold)
-    w_best = Window.partitionBy("doc_id", "point_id").orderBy(
-        F.desc("score"), F.asc("line_no")
+    order_key = F.struct(
+        F.col("score").alias("s"), (-F.col("line_no")).alias("neg")
     )
     best = (
-        scored.withColumn("rn", F.row_number().over(w_best))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "point_id", "line_no", "context", "score")
+        scored.groupBy("doc_id", "point_id")
+        .agg(F.max_by(F.struct("line_no", "score"), order_key).alias("b"))
+        .select(
+            "doc_id",
+            "point_id",
+            F.col("b.line_no").alias("line_no"),
+            F.col("b.score").alias("score"),
+        )
     )
-    return best.select(
+    return best.join(ln_ctx, ["doc_id", "line_no"]).select(
         "doc_id",
         "point_id",
         "line_no",

@@ -19,17 +19,25 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-    cores = master[len("local[") : -1] if master.startswith("local[") else "32"
-    n = 32 if cores == "*" else int(cores)
-    b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        # 4x cores: enough granularity for AQE to balance uneven partitions
-        # without starving any core (same rule of thumb as a real cluster)
-        .config(
-            "spark.sql.shuffle.partitions", str(shuffle_partitions or 4 * n)
+    # under spark-submit a gateway JVM already carries the CLI --master;
+    # calling builder.master() there would silently CLOBBER it (a local[4]
+    # submit ran at local[32] before this check). Only set a master when one
+    # was requested explicitly or we are a plain python launch.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if master and master.startswith("local["):
+        n: int | None = (
+            32 if master[len("local[") : -1] == "*"
+            else int(master[len("local[") : -1])
         )
+    else:
+        n = None  # sized from defaultParallelism after session start
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    b = (
+        b
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # local inputs are small; the default 64m advisory size would let AQE
@@ -59,4 +67,14 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # 4x cores: enough granularity for AQE to balance uneven partitions
+    # without starving any core (same rule of thumb as a real cluster).
+    # Set post-start (runtime-settable) so the submit-provided master's
+    # parallelism is what gets sized.
+    cores = n if n is not None else spark.sparkContext.defaultParallelism
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions or 4 * cores),
+    )
+    return spark
