@@ -115,3 +115,11 @@ def test_table_points_single_scan_no_joins(spark, tmp_path):
     plan = _plan(table_points(spark.read.parquet(p)))
     assert plan.count("FileScan parquet") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_build_session_honors_master_and_sizes_shuffle(spark):
+    """The session fixture was built with an explicit master; shuffle
+    partitions must be 4x its core count (the submit-clobbering regression
+    pinned: an explicit master must never be silently replaced)."""
+    assert spark.sparkContext.master == "local[4]"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "16"
