@@ -72,7 +72,6 @@ def test_pdf_column_order_matches_reference_rule():
 
 
 def test_write_pdf_produces_valid_pdf(spark, tmp_path):
-    from pyspark.sql import functions as F
 
     from pdftableextractor_spark.operators.export import write_pdf
 

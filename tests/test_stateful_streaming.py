@@ -57,7 +57,6 @@ def test_windowed_counts_watermark_semantics(spark, tmp_path):
     import datetime as dt
     import os
 
-    from pyspark.sql import functions as F
 
     from pdftableextractor_spark.streaming.windows import (
         stream_windowed_counts,

@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import functions as F
-
 from pdftableextractor_spark.operators.structure import (
     chunk_lines,
     dedup_first_wins,
