@@ -187,6 +187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     def q07(s, d):
+        # the NTZ→TIMESTAMP→long epoch cast is session-timezone-dependent;
+        # a non-UTC driver session crossing a DST jump would distort gaps
+        # vs the oracle's naive date_diff — pin UTC (runtime-settable)
+        s.conf.set("spark.sql.session.timeZone", "UTC")
         e = _t(s, d, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         epoch = F.col("ts").cast("timestamp").cast("long")

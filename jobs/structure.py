@@ -77,7 +77,16 @@ def main() -> None:
         frames = stage_frames(docs, args.output.rstrip("/") + ".__stage__")
     else:
         frames = extract_frames(docs)
-    unified = unified_data_points(frames)
+    # commentary salting pays only on heavy-tailed corpora (quadratic
+    # per-doc pair work concentrates in a few giant docs); detect the tail
+    # from span counts — one narrow scan — and leave it off for uniform
+    # inputs where the xsalt line duplication is a measured loss
+    stats = docs.select(F.size("spans").alias("n")).agg(
+        F.max("n").alias("mx"),
+        F.expr("percentile_approx(n, 0.5)").alias("md"),
+    ).collect()[0]
+    salt = 8 if stats["mx"] > 20 * max(stats["md"] or 1, 1) else 1
+    unified = unified_data_points(frames, commentary_salt=salt)
     unified.write.mode("overwrite").parquet(args.output)
     wall = time.time() - t0
 

@@ -260,7 +260,7 @@ def dedup_first_wins(points: DataFrame) -> DataFrame:
     )
 
 
-def unified_data_points(frames: dict) -> DataFrame:
+def unified_data_points(frames: dict, commentary_salt: int = 1) -> DataFrame:
     """The reference's COMPLETE df_data assembly (app.py:240-364), one
     DataFrame: 4-source union (tables, kv, text facts, footnotes) →
     first-wins dedup → per-doc point_id in assembly order → lexical
@@ -287,7 +287,9 @@ def unified_data_points(frames: dict) -> DataFrame:
     )
     pts = pts.withColumn("point_id", (F.row_number().over(w) - 1).cast("int"))
     com = lexical_commentary(
-        pts.select("doc_id", "point_id", "field", "value"), frames["lines"]
+        pts.select("doc_id", "point_id", "field", "value"),
+        frames["lines"],
+        salt=commentary_salt,
     )
     enriched = pts.join(
         com.withColumnRenamed("line_no", "matched_line"),
@@ -391,7 +393,7 @@ def lexical_commentary(
     points: DataFrame,
     lines: DataFrame,
     threshold: int = 7,
-    salt: int = 8,
+    salt: int = 1,
 ) -> DataFrame:
     """Score every (data point × same-doc line) pair and keep the argmax
     context per point (app.py:81-156):
@@ -408,7 +410,10 @@ def lexical_commentary(
       * the join key is (doc_id, point_id % salt) with the line side
         exploded over the salt range — a heavy doc's points spread over
         ``salt`` tasks (the byte-size-based AQE skew split never fires on
-        these CPU-heavy but byte-small groups);
+        these CPU-heavy but byte-small groups). Salting is a measured LOSS
+        on uniform corpora (+56% at sf0.1: the ×salt line duplication buys
+        nothing) and a 25% win on heavy-tailed ones — default 1 (off);
+        jobs/structure.py auto-enables from doc-size skew;
       * the per-point argmax is a hash aggregation (max_by over the
         (score, −line_no) order key) instead of a rank window — partial
         aggregation combines map-side, so the shuffle carries one row per
