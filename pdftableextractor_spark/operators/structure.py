@@ -422,25 +422,34 @@ def lexical_commentary(
     points: (doc_id, point_id, field, value); lines: (doc_id, line_no, text)
     → (doc_id, point_id, commentary, score)
     """
-    # the fat context strings stay OUT of the quadratic join: scoring needs
-    # only the single-line lower/clean columns; the −1/+2 context window is
-    # a separate slim frame joined back for WINNING points only
+    # salted path: the fat context strings stay OUT of the quadratic join
+    # (scoring needs only the single-line lower/clean columns; ×salt
+    # duplication of contexts OOMs small heaps) — the −1/+2 context window
+    # becomes a separate slim frame joined back for WINNING points only.
+    # Unsalted path: no duplication risk, so context rides the join and the
+    # join-back (one extra pass over the lines lineage) is skipped.
     w_ctx = Window.partitionBy("doc_id").orderBy("line_no").rowsBetween(-1, 2)
-    ln_ctx = lines.select(
-        "doc_id",
-        "line_no",
-        _clean_markers_col(
-            F.array_join(F.collect_list("text").over(w_ctx), " ")
-        ).alias("context"),
+    ctx_col = _clean_markers_col(
+        F.array_join(F.collect_list("text").over(w_ctx), " ")
     )
-    ln = lines.select(
-        "doc_id",
-        "line_no",
+    ln_cols = [
+        F.col("doc_id"),
+        F.col("line_no"),
         F.lower(F.col("text")).alias("line_lower"),
         _clean_markers_col(F.lower(F.col("text"))).alias("line_clean"),
-    ).withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
-    )
+    ]
+    if salt == 1:
+        ln = lines.select(*ln_cols, ctx_col.alias("context")).withColumn(
+            "__salt", F.lit(0)
+        )
+        ln_ctx = None
+    else:
+        ln_ctx = lines.select(
+            "doc_id", "line_no", ctx_col.alias("context")
+        )
+        ln = lines.select(*ln_cols).withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
     pt = points.select(
         "doc_id",
         "point_id",
@@ -477,17 +486,35 @@ def lexical_commentary(
     order_key = F.struct(
         F.col("score").alias("s"), (-F.col("line_no")).alias("neg")
     )
-    best = (
-        scored.groupBy("doc_id", "point_id")
-        .agg(F.max_by(F.struct("line_no", "score"), order_key).alias("b"))
-        .select(
-            "doc_id",
-            "point_id",
-            F.col("b.line_no").alias("line_no"),
-            F.col("b.score").alias("score"),
+    if ln_ctx is None:
+        best = (
+            scored.groupBy("doc_id", "point_id")
+            .agg(
+                F.max_by(
+                    F.struct("line_no", "score", "context"), order_key
+                ).alias("b")
+            )
+            .select(
+                "doc_id",
+                "point_id",
+                F.col("b.line_no").alias("line_no"),
+                F.col("b.score").alias("score"),
+                F.col("b.context").alias("context"),
+            )
         )
-    )
-    return best.join(ln_ctx, ["doc_id", "line_no"]).select(
+    else:
+        best = (
+            scored.groupBy("doc_id", "point_id")
+            .agg(F.max_by(F.struct("line_no", "score"), order_key).alias("b"))
+            .select(
+                "doc_id",
+                "point_id",
+                F.col("b.line_no").alias("line_no"),
+                F.col("b.score").alias("score"),
+            )
+            .join(ln_ctx, ["doc_id", "line_no"])
+        )
+    return best.select(
         "doc_id",
         "point_id",
         "line_no",
