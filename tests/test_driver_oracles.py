@@ -89,6 +89,13 @@ def test_rows_only_queries_run(spark, name):
     assert df.count() >= 0
 
 
+def test_every_query_is_oracled():
+    """Round-2 milestone, pinned: NO rows-only queries remain — every
+    driver query has a DuckDB twin (the parametrization above is empty by
+    design and only exists as a safety net for future additions)."""
+    assert set(QUERIES) == set(ORACLES)
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
