@@ -72,12 +72,18 @@ from pdftableextractor_spark.operators.multimodal import (
     synth_assets,
 )
 from pdftableextractor_spark.operators.textstats import (
+    EMAIL_RE,
     LANG_MARKERS,
+    PHONE_RE,
     STOPWORDS,
     TOKEN_RE,
+    URL_RE,
+    drop_common_lines,
     fingerprint,
     lang_id,
+    line_doc_frequency,
     quality_score,
+    redact_pii,
     token_count,
 )
 from pdftableextractor_spark.types import US
@@ -432,6 +438,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q28_lang_id"] = q28
 
     q["q29_fingerprint"] = lambda s, d: fingerprint(_docs_str(s, d))
+
+    # cross-doc line-frequency dedup (CCNet-style): the interleave's raw
+    # text lines plant 7 recurring footnote templates — high doc_freq —
+    # among unique body sentences
+    def _raw_text_lines(s, d):
+        from pdftableextractor_spark.operators.extract import explode_spans
+
+        return explode_spans(
+            interleave_flat_documents(_t(s, d, "documents"))
+        ).filter(F.col("kind") == "text").select("doc_id", "offset", "text")
+
+    q["q43_line_doc_freq"] = lambda s, d: line_doc_frequency(
+        _raw_text_lines(s, d)
+    )
+
+    q["q44_drop_common_lines"] = lambda s, d: drop_common_lines(
+        _raw_text_lines(s, d), min_df=5
+    ).select("doc_id", F.col("offset").cast("bigint").alias("offset"), "text")
+
+    # PII redaction: append a deterministic PII tail per doc so every row
+    # exercises all three patterns (the corpus itself is PII-free)
+    def q45(s, d):
+        docs = _docs_str(s, d).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact: user"),
+                F.col("doc_id"),
+                F.lit("@example.com or https://ex.com/"),
+                F.col("doc_id"),
+                F.lit(" phone +1 555-000-"),
+                F.col("doc_id"),
+            ).alias("text"),
+        )
+        return redact_pii(docs)
+
+    q["q45_redact_pii"] = q45
 
     # ----- multimodal plumbing -----
     q["q30_multimodal_meta"] = lambda s, d: extract_features(
@@ -1517,6 +1560,63 @@ SELECT doc_id, {', '.join('hits_' + lg for lg in langs)},
        {best_sql} AS lang_pred
 FROM m
 """
+
+    _RAWBASE = f"""base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_DOC_H} AS h, {_SENTS} AS sents
+  FROM documents
+), rawtext AS ({_RAWTEXT})"""
+
+    o["q43_line_doc_freq"] = f"""
+WITH {_RAWBASE}
+SELECT md5(trim(lower(raw))) AS line_hash,
+       min(trim(lower(raw))) AS text,
+       count(DISTINCT doc_id) AS doc_freq
+FROM rawtext WHERE trim(lower(raw)) <> ''
+GROUP BY md5(trim(lower(raw)))
+"""
+
+    o["q44_drop_common_lines"] = f"""
+WITH {_RAWBASE}, freq AS (
+  SELECT md5(trim(lower(raw))) AS line_hash,
+         count(DISTINCT doc_id) AS doc_freq
+  FROM rawtext WHERE trim(lower(raw)) <> ''
+  GROUP BY md5(trim(lower(raw)))
+)
+SELECT r.doc_id, CAST(r.off AS BIGINT) AS offset, r.raw AS text
+FROM rawtext r
+LEFT JOIN freq f
+  ON md5(trim(lower(r.raw))) = f.line_hash AND f.doc_freq >= 5
+WHERE f.line_hash IS NULL
+"""
+
+    o["q45_redact_pii"] = (
+        """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         text || ' Contact: user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or https://ex.com/' || CAST(doc_id AS VARCHAR) ||
+         ' phone +1 555-000-' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id, len(regexp_extract_all(text, '@URL@')) AS n_urls,
+         regexp_replace(text, '@URL@', '<URL>', 'g') AS t1
+  FROM t
+), s2 AS (
+  SELECT doc_id, n_urls,
+         len(regexp_extract_all(t1, '@EMAIL@')) AS n_emails,
+         regexp_replace(t1, '@EMAIL@', '<EMAIL>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '@PHONE@', '<PHONE>', 'g') AS clean_text,
+       n_urls, n_emails,
+       len(regexp_extract_all(t2, '@PHONE@')) AS n_phones
+FROM s2
+"""
+        .replace("@URL@", URL_RE)
+        .replace("@EMAIL@", EMAIL_RE)
+        .replace("@PHONE@", PHONE_RE)
+    )
 
     o["q29_fingerprint"] = f"""
 WITH w AS (

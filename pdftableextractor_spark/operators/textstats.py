@@ -153,3 +153,80 @@ def fingerprint(
         F.md5(F.col(text_col)).alias("content_md5"),
         F.concat_ws("", F.slice(hashes, 1, k)).alias("fingerprint"),
     )
+
+
+# --- cross-doc line-frequency dedup (CCNet-style paragraph dedup) -----------
+# A line appearing verbatim in many documents is boilerplate by evidence,
+# not by pattern (the distributional complement of the regex heuristics in
+# functions/strings.is_boilerplate_col). Standard web-corpus curation stage.
+
+
+def line_doc_frequency(lines: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per distinct normalized line: the number of DISTINCT documents it
+    appears in. (doc_id, <text_col>) → (line_hash, text, doc_freq). The
+    md5 groupBy key keeps the shuffle rows narrow; one map-side-combined
+    aggregation."""
+    t = F.trim(F.lower(F.col(text_col)))
+    return (
+        lines.select("doc_id", t.alias("norm"))
+        .filter(F.col("norm") != "")
+        .groupBy(F.md5(F.col("norm")).alias("line_hash"))
+        .agg(
+            F.min("norm").alias("text"),
+            F.count_distinct("doc_id").cast("bigint").alias("doc_freq"),
+        )
+    )
+
+
+def drop_common_lines(
+    lines: DataFrame, min_df: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Remove lines whose verbatim (lowercased) text appears in >= min_df
+    distinct documents — evidence-based boilerplate removal. The frequency
+    side is aggregated first (one row per distinct line), so the exclusion
+    join is a hash/broadcast semi-anti join, never all-pairs."""
+    t = F.trim(F.lower(F.col(text_col)))
+    common = (
+        line_doc_frequency(lines, text_col)
+        .filter(F.col("doc_freq") >= min_df)
+        .select("line_hash")
+    )
+    return (
+        lines.withColumn("__h", F.md5(t))
+        .join(common, F.col("__h") == common["line_hash"], "left_anti")
+        .drop("__h")
+    )
+
+
+# --- PII scrubbing (regex redaction, curation hygiene stage) ----------------
+# Deterministic JVM-side redaction of emails / URLs / phone-like numbers —
+# the standard pre-training hygiene pass. Patterns are module constants so
+# the DuckDB oracle reuses them verbatim.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+?\d[\d\-\s]{7,}\d"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) → (doc_id, clean_text, n_emails, n_urls, n_phones).
+    Order matters and is frozen: URLs first (emails can appear inside
+    URLs), then emails, then phone-like digit runs."""
+    t = F.col(text_col)
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_RE), F.lit(0)))
+    after_url = F.regexp_replace(t, URL_RE, "<URL>")
+    n_emails = F.size(
+        F.regexp_extract_all(after_url, F.lit(EMAIL_RE), F.lit(0))
+    )
+    after_email = F.regexp_replace(after_url, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(
+        F.regexp_extract_all(after_email, F.lit(PHONE_RE), F.lit(0))
+    )
+    clean = F.regexp_replace(after_email, PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_urls.cast("bigint").alias("n_urls"),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_phones.cast("bigint").alias("n_phones"),
+    )

@@ -314,3 +314,29 @@ def test_embedding_near_dups_unlabeled_recall(spark):
     }
     for j in range(5):
         assert (j, 1000 + j) in pairs, f"planted dup {j} missed"
+
+
+def test_line_frequency_dedup_and_pii_redaction(spark):
+    from pdftableextractor_spark.operators.textstats import (
+        drop_common_lines,
+        line_doc_frequency,
+        redact_pii,
+    )
+
+    rows = []
+    for d in range(8):
+        rows.append((f"d{d}", 0, "© 2024 Example Corp. All rights reserved."))
+        rows.append((f"d{d}", 1, f"Unique sentence number {d} stays."))
+    lines = spark.createDataFrame(rows, ["doc_id", "offset", "text"])
+    freq = {r["text"]: r["doc_freq"] for r in line_doc_frequency(lines).collect()}
+    assert freq["© 2024 example corp. all rights reserved."] == 8
+    kept = [r["text"] for r in drop_common_lines(lines, min_df=5).collect()]
+    assert all("Unique sentence" in t for t in kept) and len(kept) == 8
+
+    docs = spark.createDataFrame(
+        [("d1", "Mail a@b.io or see https://x.y/z?a=1 call +1 555-123-4567 now")],
+        ["doc_id", "text"],
+    )
+    r = redact_pii(docs).collect()[0]
+    assert r["clean_text"] == "Mail <EMAIL> or see <URL> call <PHONE> now"
+    assert (r["n_urls"], r["n_emails"], r["n_phones"]) == (1, 1, 1)
