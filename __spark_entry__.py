@@ -84,6 +84,7 @@ from pdftableextractor_spark.operators.textstats import (
     line_doc_frequency,
     quality_score,
     redact_pii,
+    repetition_stats,
     token_count,
 )
 from pdftableextractor_spark.types import US
@@ -475,6 +476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return redact_pii(docs)
 
     q["q45_redact_pii"] = q45
+
+    # Gopher-style repetition filters (Rae et al. 2021 family)
+    q["q46_repetition_stats"] = lambda s, d: repetition_stats(
+        _docs_str(s, d)
+    )
 
     # ----- multimodal plumbing -----
     q["q30_multimodal_meta"] = lambda s, d: extract_features(
@@ -1617,6 +1623,33 @@ FROM s2
         .replace("@EMAIL@", EMAIL_RE)
         .replace("@PHONE@", PHONE_RE)
     )
+
+    o["q46_repetition_stats"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_SENTS} AS sents,
+         {_WORDS} AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sents,
+         round(1 - len(list_distinct(sents)) / greatest(len(sents), 1), 6)
+           AS dup_sent_frac,
+         toks
+  FROM t
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t WHERE len(toks) >= 2
+), pg AS (
+  SELECT doc_id, bg, count(*) AS n FROM g GROUP BY doc_id, bg
+), pd AS (
+  SELECT doc_id, max(n) AS top_n, sum(n) AS total FROM pg GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_sents, b.dup_sent_frac,
+       round(coalesce(pd.top_n / greatest(pd.total, 1),
+                      CAST(0.0 AS DOUBLE)), 6) AS top_bigram_frac
+FROM b LEFT JOIN pd USING (doc_id)
+"""
 
     o["q29_fingerprint"] = f"""
 WITH w AS (

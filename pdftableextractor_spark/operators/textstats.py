@@ -230,3 +230,69 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_emails.cast("bigint").alias("n_emails"),
         n_phones.cast("bigint").alias("n_phones"),
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (public Rae et al. 2021 filter
+    family), deterministic and SQL-twinnable:
+
+      dup_sent_frac   1 − distinct sentences / sentences (array ops, no
+                      shuffle beyond the scan)
+      top_bigram_frac occurrences of the most frequent word bigram /
+                      total bigrams (explode + two-level agg; map-side
+                      combine keeps the shuffle narrow)
+
+    → (doc_id, n_sents, dup_sent_frac, top_bigram_frac); docs with no
+    bigrams report 0.0.
+    """
+    sents = F.split(
+        F.regexp_replace(F.col(text_col), r"([.!?]) ", "$1\x1e"), "\x1e"
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(sents).cast("bigint").alias("n_sents"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(sents))
+            / F.greatest(F.size(sents), F.lit(1))
+        ).alias("dup_sent_frac"),
+        tokenize_col(F.col(text_col)).alias("toks"),
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") < 2, F.array().cast("array<string>")
+            ).otherwise(
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            )
+        ).alias("bg"),
+    )
+    per_gram = grams.groupBy("doc_id", "bg").agg(
+        F.count("*").alias("n")
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.max("n").alias("top_n"), F.sum("n").alias("total")
+    )
+    return (
+        base.select("doc_id", "n_sents", F.round("dup_sent_frac", 6).alias(
+            "dup_sent_frac"
+        ))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sents",
+            "dup_sent_frac",
+            F.round(
+                F.coalesce(
+                    F.col("top_n") / F.greatest(F.col("total"), F.lit(1)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )

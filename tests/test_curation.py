@@ -340,3 +340,19 @@ def test_line_frequency_dedup_and_pii_redaction(spark):
     r = redact_pii(docs).collect()[0]
     assert r["clean_text"] == "Mail <EMAIL> or see <URL> call <PHONE> now"
     assert (r["n_urls"], r["n_emails"], r["n_phones"]) == (1, 1, 1)
+
+
+def test_repetition_stats_hand_cases(spark):
+    from pdftableextractor_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [("a", "one two. one two. three four!"), ("b", "x y z w"),
+         ("c", "solo")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got["a"]["n_sents"] == 3
+    assert abs(got["a"]["dup_sent_frac"] - 1 / 3) < 1e-5
+    assert got["a"]["top_bigram_frac"] == 0.4  # 'one two' 2 of 5
+    assert got["b"]["dup_sent_frac"] == 0.0
+    assert got["c"]["top_bigram_frac"] == 0.0  # no bigrams
