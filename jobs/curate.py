@@ -8,9 +8,12 @@ One pass over documents(doc_id, text, ...):
   2. near-dup removal     MinHash-LSH (trigram) pairs; drop the higher
                           doc_id of every confirmed pair
   3. quality gate         composite quality score >= --min-quality
-  4. language gate        marker-based lang-id in --langs (best-effort;
+  4. repetition gate      Gopher-style: dup-sentence fraction and
+                          top-bigram fraction below --max-rep
+  5. language gate        marker-based lang-id in --langs (best-effort;
                           'und' passes — absence of evidence isn't exclusion)
-  5. annotate             token counts + fingerprint on survivors
+  6. PII scrub            emails/URLs/phones replaced with typed tags
+  7. annotate             token counts + fingerprint on survivors
 
 Writes <output>/clean (curated corpus with stats columns) and prints a
 one-line JSON funnel summary. The funnel is the canonical shape of an LLM
@@ -32,6 +35,7 @@ def main() -> None:
     p.add_argument("--min-quality", type=float, default=0.3)
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
     p.add_argument("--langs", default="en,und")
+    p.add_argument("--max-rep", type=float, default=0.5)
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -45,6 +49,8 @@ def main() -> None:
         fingerprint,
         lang_id,
         quality_score,
+        redact_pii,
+        repetition_stats,
         token_count,
     )
     from pdftableextractor_spark.session import build_session
@@ -75,17 +81,30 @@ def main() -> None:
     ).persist()
     n3 = docs3.count()
 
+    rep = repetition_stats(docs3.select("doc_id", "text")).select(
+        "doc_id", "dup_sent_frac", "top_bigram_frac"
+    )
+    docs3r = docs3.join(rep, "doc_id").filter(
+        (F.col("dup_sent_frac") <= args.max_rep)
+        & (F.col("top_bigram_frac") <= args.max_rep)
+    ).persist()
+    n3r = docs3r.count()
+
     langs = [x.strip() for x in args.langs.split(",") if x.strip()]
-    lid = lang_id(docs3.select("doc_id", "text")).select("doc_id", "lang_pred")
-    docs4 = docs3.join(lid, "doc_id").filter(
+    lid = lang_id(docs3r.select("doc_id", "text")).select("doc_id", "lang_pred")
+    docs4 = docs3r.join(lid, "doc_id").filter(
         F.col("lang_pred").isin(langs)
     ).persist()
     n4 = docs4.count()
 
+    scrubbed = docs4.join(
+        redact_pii(docs4.select("doc_id", "text")), "doc_id"
+    ).drop("text").withColumnRenamed("clean_text", "text")
+
     annotated = (
-        docs4.join(token_count(docs4.select("doc_id", "text")), "doc_id")
+        scrubbed.join(token_count(scrubbed.select("doc_id", "text")), "doc_id")
         .join(
-            fingerprint(docs4.select("doc_id", "text")).select(
+            fingerprint(scrubbed.select("doc_id", "text")).select(
                 "doc_id", "content_md5", "fingerprint"
             ),
             "doc_id",
@@ -99,6 +118,7 @@ def main() -> None:
                 "after_exact_dedup": n1,
                 "after_near_dup": n2,
                 "after_quality": n3,
+                "after_repetition": n3r,
                 "after_lang": n4,
                 "sec": round(time.time() - t0, 3),
             }
