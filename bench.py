@@ -13,6 +13,8 @@ Headline queries:
                     table/kv/media/pdf spans, heavy-tailed) → extract_spans
   extract_testdata  interleaved driver documents table → extract_spans
   structure_points  extraction frames → data points → dedup → commentary
+  unified_points    the full 5-source row contract incl. footnotes +
+                    unmatched-text General Commentary
   pricing_summary   TPC-H-Q1-style aggregate over lineitem
   minhash_pairs     MinHash-LSH near-dup pairs over documents
   simhash           SimHash signatures over documents
