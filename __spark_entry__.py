@@ -35,11 +35,13 @@ from pdftableextractor_spark.functions.strings import (
 from pdftableextractor_spark.operators.dedup import (
     MINHASH_P,
     embedding_near_dups,
+    embedding_near_dups_unlabeled,
     exact_dedup,
     minhash_coeffs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_near_dups,
+    simhash_near_dups_multiband,
     simhash_signatures,
 )
 from pdftableextractor_spark.operators.extract import (
@@ -382,6 +384,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs_str(s, d), max_hamming=30
     ).select(
         "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+    # multi-band SimHash (full-recall variant, exact for hamming < n_bands)
+    q["q47_simhash_multiband"] = lambda s, d: simhash_near_dups_multiband(
+        _docs_str(s, d), max_hamming=30, n_bands=5
+    ).select(
+        "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+    # embedding near-dups with NO label column: k-means cells as blocks
+    q["q48_embed_dups_unlabeled"] = lambda s, d: (
+        embedding_near_dups_unlabeled(
+            _t(s, d, "embeddings").select("vec_id", "embedding"),
+            k=8,
+            threshold=0.35,
+        )
     )
 
     q["q22_ngram_jaccard"] = lambda s, d: ngram_jaccard_pairs(
@@ -1382,6 +1400,22 @@ FROM mins GROUP BY doc_id
 
     o["q20_simhash"] = _simhash_sql()
 
+    o["q47_simhash_multiband"] = f"""
+WITH sim AS ({_simhash_sql()}),
+bands AS (
+  SELECT doc_id, simhash, v.t,
+         (simhash >> (v.t * 12)) & 4095 AS band
+  FROM sim, (VALUES (0), (1), (2), (3), (4)) v(t)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.t = b.t AND a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 30
+"""
+
     o["q21_simhash_pairs"] = f"""
 WITH sim AS ({_simhash_sql()})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1493,6 +1527,28 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
   FROM e CROSS JOIN c{_KM_ITERS} c) WHERE rn = 1
 """
     )
+
+    # q48: the q39 k-means CTE chain composed with the blocked pair join —
+    # cells become the blocking key, pairwise cosine the verify
+    o["q48_embed_dups_unlabeled"] = (
+        "WITH " + ",\n".join(_km) + f"""
+, assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell)
+             AS rn
+    FROM e CROSS JOIN c{_KM_ITERS} c) WHERE rn = 1
+), av AS (
+  SELECT a.vec_id, a.cell, e.v FROM assign a JOIN e USING (vec_id)
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       round(list_cosine_similarity(x.v, y.v), 6) AS cos
+FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35
+"""
+    )
+
 
     o["q26_token_count"] = f"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
