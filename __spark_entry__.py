@@ -656,7 +656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "field",
             "value",
             "page",
+            "raw_data",
             "commentary",
+            "has_commentary",
             F.col("score").cast("bigint").alias("score"),
             F.col("matched_line").cast("bigint").alias("matched_line"),
         )
@@ -1337,7 +1339,10 @@ SELECT doc_id,
        CAST(row_number() OVER (PARTITION BY doc_id
               ORDER BY src_rank, off, seq, field, value) - 1 AS BIGINT)
          AS point_id,
-       source, type, field, value, page, commentary,
+       source, type, field, value, page,
+       field || ': ' || value AS raw_data,
+       commentary,
+       (matched_line IS NOT NULL) AS has_commentary,
        CAST(score AS BIGINT) AS score,
        CAST(matched_line AS BIGINT) AS matched_line
 FROM allrows

@@ -247,6 +247,11 @@ def write_pdf(df: DataFrame, path: str, map_col: str | None = "data") -> bytes:
     the Flask response)."""
     out = key_union_pivot(df, map_col) if map_col else df
     cols = pdf_column_order(out.columns)
+    # the reference exporter reads row.get(col, "") (export_utils.py:44) —
+    # a table with no 'Category' column renders an empty Category column,
+    # not an error; mirror that tolerance instead of raising
+    if "Category" not in out.columns:
+        out = out.withColumn("Category", F.lit(""))
     rows = [[r[c] for c in cols] for r in out.select(*cols).collect()]
     pdf = render_pdf_table(cols, rows)
     with open(path, "wb") as f:

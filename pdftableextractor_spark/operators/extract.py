@@ -51,12 +51,16 @@ from pdftableextractor_spark.types import US
 
 CELL_TAG_RE = r"^r(\d+)c(\d+):"
 
-# densification bound: a hostile 'r2000000000c0:x' tag would otherwise make
+# densification bounds: a hostile 'r2000000000c0:x' tag would otherwise make
 # F.sequence materialize a multi-GB array per row (executor OOM). Real
 # document grids are < 10k rows/cols by orders of magnitude; cells tagged
-# beyond the bound are dropped as malformed (oracle._table_cells mirrors
-# the same bound).
+# beyond the per-axis bound are dropped as malformed. The per-axis cap alone
+# is not enough — a single 'r9999c9999:x' cell still implies a ~10^8-element
+# dense grid (multi-GB in one row), so the AREA is bounded too: a table whose
+# (max_r+1)*(max_c+1) exceeds GRID_AREA_MAX is dropped whole, as hostile
+# (oracle._table_cells mirrors both bounds).
 GRID_MAX = 10_000
+GRID_AREA_MAX = 1_000_000
 
 
 def explode_spans(documents: DataFrame) -> DataFrame:
@@ -141,17 +145,25 @@ def _grid_extent_cols():
 
 def _dense_grid_col():
     """Dense row-major grid with '' fill from (max_r, max_c, m) columns —
-    the reference's grid reconstruction (textract_processor.py:271-297)."""
-    return F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.col("max_r")),
-            lambda r: F.transform(
-                F.sequence(F.lit(0), F.col("max_c")),
-                lambda c: F.coalesce(
-                    F.try_element_at(F.col("m"), F.concat_ws(":", r, c)),
-                    F.lit(""),
+    the reference's grid reconstruction (textract_processor.py:271-297).
+    Tables whose dense area exceeds GRID_AREA_MAX densify to an EMPTY grid
+    (dropped whole as hostile) — the when-guard is evaluated BEFORE the
+    flatten/sequence expression, so the multi-GB array is never built."""
+    area = (F.col("max_r") + 1).cast("bigint") * (F.col("max_c") + 1)
+    return F.when(
+        area > GRID_AREA_MAX, F.array().cast("array<string>")
+    ).otherwise(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.col("max_r")),
+                lambda r: F.transform(
+                    F.sequence(F.lit(0), F.col("max_c")),
+                    lambda c: F.coalesce(
+                        F.try_element_at(F.col("m"), F.concat_ws(":", r, c)),
+                        F.lit(""),
+                    ),
                 ),
-            ),
+            )
         )
     ).alias("grid")
 

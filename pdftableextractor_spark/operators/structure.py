@@ -248,11 +248,13 @@ def dedup_first_wins(points: DataFrame) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         "field", "value", "src_rank", "offset", "seq"
     )
-    first = (
-        F.lag("field").over(w).isNull()
-        | (F.lag("field").over(w) != F.col("field"))
-        | (F.lag("value").over(w) != F.col("value"))
-    )
+    # null-safe on purpose: lag(...).isNull() would conflate "first row in
+    # partition" with "previous field is NULL", and != yields NULL (not
+    # true) when either side is NULL — a null field/value row would silently
+    # corrupt the dedup. eqNullSafe over the (field, value) struct keeps the
+    # run detection exact for any input.
+    key = F.struct(F.col("field"), F.col("value"))
+    first = ~key.eqNullSafe(F.lag(key).over(w))
     return (
         points.withColumn("__first", first)
         .filter(F.col("__first"))
@@ -269,7 +271,14 @@ def unified_data_points(frames: dict, commentary_salt: int = 1) -> DataFrame:
     Commentary rows appended (src_rank 4) → final point_id.
 
     frames: the extract_frames dict. Returns (doc_id, point_id, source,
-    type, field, value, page, commentary, score, matched_line)."""
+    type, field, value, page, raw_data, commentary, has_commentary, score,
+    matched_line) — raw_data is the reference's literal
+    ``f"{field}: {value}"`` match key
+    (structured_llm_processor.py:405,420,435, consumed at :450) and
+    has_commentary its per-row found-a-lexical-match flag
+    (structured_llm_processor.py:466; app.py:427,451,467,486,504,520 set it
+    False on every non-matched path, which matched_line IS NULL reproduces
+    for footnote-default and General Commentary rows)."""
     pts = dedup_first_wins(
         all_data_points(
             table_points(frames["cells"]),
@@ -335,7 +344,11 @@ def unified_data_points(frames: dict, commentary_salt: int = 1) -> DataFrame:
         "field",
         "value",
         "page",
+        F.concat(F.col("field"), F.lit(": "), F.col("value")).alias(
+            "raw_data"
+        ),
         "commentary",
+        F.col("matched_line").isNotNull().alias("has_commentary"),
         "score",
         "matched_line",
     )

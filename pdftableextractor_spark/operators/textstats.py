@@ -76,7 +76,13 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(3000) * n * (c - F.least(F.lit(5) * p_, c))
     )
     den = F.lit(10000) * n * c
-    q6 = F.floor((num * F.lit(2_000_000) + den) / (F.lit(2) * den))
+    # floor computed with INTEGER ops only: decimal/decimal division in Spark
+    # itself rounds HALF_UP to the capped result scale (~6) before any
+    # F.floor, so a quotient within ~5e-7 below an integer would floor
+    # differently than DuckDB's exact HUGEINT //. Subtracting the remainder
+    # first makes the division exact (no rounding can occur).
+    x = num * F.lit(2_000_000) + den
+    q6 = (x - F.pmod(x, F.lit(2) * den)) / (F.lit(2) * den)
     # the single-division ratios are safe to round as doubles: with n, c
     # bounded by document size their values sit ≥ 1/(2e6·n) away from any
     # .5 tie unless exactly dyadic — and both engines agree on exact ties

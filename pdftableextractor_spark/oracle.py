@@ -75,6 +75,7 @@ def is_boiler(line: str) -> bool:
 
 
 GRID_MAX = 10_000  # mirrors operators/extract.py:GRID_MAX densification bound
+GRID_AREA_MAX = 1_000_000  # mirrors extract.GRID_AREA_MAX whole-table bound
 
 
 def _table_cells(payload: str) -> list[str]:
@@ -92,6 +93,8 @@ def _table_cells(payload: str) -> list[str]:
         max_r, max_c = max(max_r, r), max(max_c, c)
     if max_r < 0:
         return []
+    if (max_r + 1) * (max_c + 1) > GRID_AREA_MAX:
+        return []  # hostile area — table dropped whole, same as the engine
     out = []
     for r in range(max_r + 1):
         for c in range(max_c + 1):

@@ -100,6 +100,20 @@ def test_write_pdf_produces_valid_pdf(spark, tmp_path):
         assert raw[int(off) : int(off) + len(f"{i} 0 obj")] == f"{i} 0 obj".encode()
 
 
+def test_write_pdf_without_category_renders_empty_column(spark, tmp_path):
+    """A pivoted table whose map keys never include 'Category' must render
+    an empty Category column (reference export_utils.py:44 row.get(col, '')),
+    not raise AnalysisException."""
+    from pdftableextractor_spark.operators.export import write_pdf
+
+    rows = [({"Value 1": "$10"},), ({"Value 2": "12%"},)]
+    df = spark.createDataFrame(rows, "data map<string,string>")
+    path = str(tmp_path / "nocat.pdf")
+    pdf = write_pdf(df, path)
+    assert pdf.startswith(b"%PDF-1.4")
+    assert b"(Category | Value 1 | Value 2)" in pdf
+
+
 def test_write_pdf_paginates(spark, tmp_path):
     from pdftableextractor_spark.operators.export import (
         render_pdf_table,

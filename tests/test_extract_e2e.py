@@ -119,6 +119,41 @@ def test_hostile_grid_tag_is_clamped(spark):
     assert [t for _, _, t in got] == ["A", "B", "", "$5"]
 
 
+def test_hostile_grid_area_is_bounded(spark):
+    """Per-axis caps alone are not enough: one 'r9999c9999:x' cell implies a
+    ~10^8-element dense grid. Tables whose (max_r+1)*(max_c+1) exceeds
+    extract.GRID_AREA_MAX are dropped whole, identically in the engine and
+    the pure-Python oracle — and the guard short-circuits BEFORE the
+    sequence/flatten, so the huge array is never materialized."""
+    from pdftableextractor_spark import oracle
+    from pdftableextractor_spark.operators.extract import extract_spans
+    from pdftableextractor_spark.types import US
+
+    payload = US.join(["r0c0:A", "r1999c1999:boom"])
+    doc = {
+        "doc_id": "d1",
+        "spans": [
+            {"kind": "table", "text": payload, "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "still here.", "media_ref": "", "offset": 1},
+        ],
+    }
+    sdf = spark.createDataFrame(
+        [doc],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = [
+        (r["order"], r["kind"], r["text"])
+        for r in extract_spans(sdf).orderBy("order").collect()
+    ]
+    exp = [
+        (r["order"], r["kind"], r["text"]) for r in oracle.extract_document(doc)
+    ]
+    assert got == exp
+    # the hostile table contributed NOTHING; only the text span survives
+    assert got == [(0, "text", "still here.")]
+
+
 def test_stage_frames_equals_lazy_frames(spark, tmp_path):
     """stage_frames materializes extraction once; every frame must be
     byte-identical to the lazy extract_frames lineage."""

@@ -187,6 +187,47 @@ def test_dedup_first_wins(spark):
     assert got == [("table", "10"), ("table", "11")]
 
 
+def test_dedup_first_wins_null_safe(spark):
+    """A null field/value must not corrupt the run detection: lag != col
+    yields NULL (not true) on null inputs, so the naive form silently drops
+    or keeps the wrong rows. The eqNullSafe form treats (NULL, x) runs like
+    any other key."""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("offset", IntegerType()),
+        StructField("seq", IntegerType()),
+        StructField("src_rank", IntegerType()),
+        StructField("source", StringType()),
+        StructField("field", StringType()),
+        StructField("value", StringType()),
+    ])
+    rows = [
+        ("d1", 1, 0, 0, "table", None, "10"),      # null field, first → keep
+        ("d1", 2, 0, 1, "key_value", None, "10"),  # dup of (NULL,10) → drop
+        ("d1", 3, 0, 0, "table", "Revenue", None), # null value → keep
+        ("d1", 4, 0, 1, "key_value", "Revenue", None),  # dup → drop
+        ("d1", 5, 0, 0, "table", "Revenue", "10"),  # distinct → keep
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = sorted(
+        ((r["source"], r["field"], r["value"])
+         for r in dedup_first_wins(df).collect()),
+        key=repr,
+    )
+    assert got == sorted(
+        [
+            ("table", None, "10"),
+            ("table", "Revenue", None),
+            ("table", "Revenue", "10"),
+        ],
+        key=repr,
+    )
+
+
 def test_table_points_header_inference(spark):
     # grid: header (Metric, Q1, Q2); rows alpha/beta; one empty value dropped
     cells = [
