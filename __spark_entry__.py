@@ -49,7 +49,7 @@ from pdftableextractor_spark.operators.extract import (
     extract_spans,
 )
 from pdftableextractor_spark.operators.similarity import (
-    _hyperplanes,
+    lsh_planes,
     cosine_topk,
     ivf_topk,
     kmeans_cells,
@@ -1003,28 +1003,40 @@ SELECT b.doc_id, b.point_id, CAST(b.line_no AS BIGINT) AS line_no,
 FROM best b LEFT JOIN acc a USING (doc_id, point_id)
 """
 
-    # q35: hyperplane constants are deterministic (md5-seeded) 4×64 float
-    # literals — embedded verbatim so DuckDB reproduces the sign buckets
-    _planes = _hyperplanes(64, 4)
-    _plane_lits = [
-        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in _planes
-    ]
-    _bucket_expr = " + ".join(
-        f"(CASE WHEN list_inner_product(v, {lit}) > 0"
-        f" THEN {1 << i} ELSE 0 END)"
-        for i, lit in enumerate(_plane_lits)
+    # q35: hyperplane constants are deterministic (md5-seeded) float
+    # literals — embedded verbatim so DuckDB reproduces the sign buckets.
+    # MULTI-TABLE (4 tables × 4 planes): a candidate matches the query's
+    # bucket in ANY table, mirroring lsh_topk's stacked-matmul predicate.
+    _tables = lsh_planes(64, n_planes=4, n_tables=4)
+    _bucket_exprs = []
+    for _tp in _tables:
+        _lits = [
+            "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in _tp
+        ]
+        _bucket_exprs.append(
+            " + ".join(
+                f"(CASE WHEN list_inner_product(v, {lit}) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+                for i, lit in enumerate(_lits)
+            )
+        )
+    _bcols = ", ".join(
+        f"{ex} AS b{t}" for t, ex in enumerate(_bucket_exprs)
+    )
+    _match = " OR ".join(
+        f"b{t} = (SELECT b{t} FROM q)" for t in range(len(_tables))
     )
     o["q35_lsh_topk"] = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), b AS (
-  SELECT vec_id, v, {_bucket_expr} AS bucket FROM e
+  SELECT vec_id, v, {_bcols} FROM e
 ), q AS (
-  SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0
+  SELECT * FROM b WHERE vec_id = 0
 )
 SELECT vec_id,
-       round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cos
-FROM b WHERE bucket = (SELECT qb FROM q)
+       round(list_cosine_similarity(v, (SELECT v FROM q)), 6) AS cos
+FROM b WHERE {_match}
 ORDER BY cos DESC, vec_id LIMIT 10
 """
 
@@ -1534,7 +1546,10 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
     )
 
     # q48: the q39 k-means CTE chain composed with the blocked pair join —
-    # cells become the blocking key, pairwise cosine the verify
+    # cells become the blocking key (MULTI-PROBE: each vector blocks into
+    # its top-2 nearest cells, rn <= 2, so boundary-straddling pairs are
+    # kept), pairwise cosine the verify, DISTINCT dedups pairs that share
+    # both cells
     o["q48_embed_dups_unlabeled"] = (
         "WITH " + ",\n".join(_km) + f"""
 , assign AS (
@@ -1543,11 +1558,11 @@ SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell)
              AS rn
-    FROM e CROSS JOIN c{_KM_ITERS} c) WHERE rn = 1
+    FROM e CROSS JOIN c{_KM_ITERS} c) WHERE rn <= 2
 ), av AS (
   SELECT a.vec_id, a.cell, e.v FROM assign a JOIN e USING (vec_id)
 )
-SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
        round(list_cosine_similarity(x.v, y.v), 6) AS cos
 FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id < y.vec_id
 WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35

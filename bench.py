@@ -307,6 +307,60 @@ def _synth_embeddings_path(n: int, dim: int, n_blocks: int, seed: int = 11) -> s
     return path
 
 
+def run_centroids(n: int = 100_000, dim_lo: int = 64, dim_hi: int = 1024) -> dict:
+    """Dimension-scaling evidence for the Arrow partial-sum centroid kernel
+    (round-2 verdict fix #1): one Lloyd update (centroid_mean) at 64-d and
+    1024-d, kernel path vs the old per-dim posexplode path. The explode path
+    generates rows×dim rows per pass — its cost grows ~linearly in dim even
+    though the shuffle stays tiny; the kernel's per-vector cost should stay
+    near-flat (the ×16 dim growth costs only BLAS time)."""
+    from pdftableextractor_spark.operators.similarity import (
+        _centroid_mean_explode,
+        centroid_mean,
+    )
+    from pdftableextractor_spark.session import build_session
+
+    spark = build_session(app_name="bench-centroids", master="local[32]")
+    out: dict = {}
+    for tag, dim in (("lo", dim_lo), ("hi", dim_hi)):
+        path = _synth_embeddings_path(n, dim, n_blocks=64)
+        emb = spark.read.parquet(path)
+        _materialize(centroid_mean(emb, cell_col="label"))  # warm-up
+        t_kernel = _timed(
+            lambda: _materialize(centroid_mean(emb, cell_col="label")), runs=2
+        )
+        t_explode = _timed(
+            lambda: _materialize(_centroid_mean_explode(emb, cell_col="label")),
+            runs=2,
+        )
+        out[tag] = {
+            "dim": dim,
+            "kernel_sec": t_kernel,
+            "explode_sec": t_explode,
+            "kernel_us_per_vec": round(t_kernel / n * 1e6, 3),
+            "explode_us_per_vec": round(t_explode / n * 1e6, 3),
+        }
+    spark.stop()
+    # cost growth when dim grows 16x (1.0 = perfectly flat per-vector cost)
+    kernel_growth = round(out["hi"]["kernel_sec"] / out["lo"]["kernel_sec"], 3)
+    explode_growth = round(
+        out["hi"]["explode_sec"] / out["lo"]["explode_sec"], 3
+    )
+    return {
+        "metric": "Lloyd-update cost growth at 16x dim (1.0 = flat)",
+        "value": kernel_growth,
+        "unit": "ratio",
+        "queries": {
+            "kernel_growth_16x_dim": kernel_growth,
+            "explode_growth_16x_dim": explode_growth,
+            "kernel_sec_d1024": out["hi"]["kernel_sec"],
+            "explode_sec_d1024": out["hi"]["explode_sec"],
+        },
+        "n_vectors": n,
+        "detail": out,
+    }
+
+
 def run_vectors(dim: int = 256, n_lo: int = 20_000, n_hi: int = 200_000) -> dict:
     """Kernel-scaling evidence for the Arrow-batched cosine kernels
     (round-1 verdict fix): ann_topk and embedding_near_dups at 1x and 10x
@@ -362,6 +416,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--vectors", action="store_true")
+    p.add_argument("--centroids", action="store_true")
     p.add_argument("--synth-docs", type=int, default=None)
     args = p.parse_args()
 
@@ -382,6 +437,8 @@ def main() -> None:
         print(json.dumps(run_scaling(sf_dir, max(n_synth, 50_000))))
     elif args.vectors:
         print(json.dumps(run_vectors()))
+    elif args.centroids:
+        print(json.dumps(run_centroids()))
     else:
         print(json.dumps(run_bench(sf_dir, cpus, n_synth)))
 

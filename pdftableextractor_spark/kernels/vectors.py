@@ -94,20 +94,111 @@ def nearest_centroid_udf(centroids):
     return k
 
 
-def lsh_bucket_udf(planes):
-    """UDF: sign-bit LSH bucket id — bucket = Σ 2^i·[v·p_i > 0]. One
-    (batch × planes.T) matmul replaces n_planes interpreted aggregates
-    per row."""
-    p = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
-    weights = (np.int64(1) << np.arange(p.shape[0], dtype=np.int64))
+def centroid_partial_kernel(batches):
+    """mapInPandas kernel: per-PARTITION centroid partial sums.
 
-    @pandas_udf("long")
+    Input batches carry (cell, embedding); the kernel accumulates one
+    (sum_vec, n) pair per cell ACROSS all Arrow batches of the partition and
+    emits k rows total — so the shuffle that follows carries k×dim doubles
+    per partition instead of the per-dim posexplode's rows×dim generated
+    rows (the round-2 verdict's ×dim scan-inflation fix: at 1024-d over 10⁹
+    vectors the explode path generates 10¹² rows per Lloyd iteration; this
+    path's shuffle is ~partitions×k×dim doubles, flat in corpus size).
+    Per batch the work is one np.add.at segment-sum — numpy, not per-row
+    Python."""
+    sums: dict = {}
+    counts: dict = {}
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        m = _matrix(pdf["embedding"])
+        cells = pdf["cell"].to_numpy()
+        uniq, inv = np.unique(cells, return_inverse=True)
+        part = np.zeros((len(uniq), m.shape[1]), dtype=np.float64)
+        np.add.at(part, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq))
+        for u, row, c in zip(uniq.tolist(), part, cnt.tolist()):
+            if u in sums:
+                sums[u] += row
+                counts[u] += c
+            else:
+                sums[u] = row
+                counts[u] = c
+    if sums:
+        yield pd.DataFrame(
+            {
+                "cell": list(sums.keys()),
+                "sum_vec": [v.tolist() for v in sums.values()],
+                "n": list(counts.values()),
+            }
+        )
+
+
+def centroid_finalize_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas reducer over one cell's partials: mean = Σsum_vec / Σn.
+    Input is ~#partitions rows per cell — tiny by construction."""
+    s = np.vstack(pdf["sum_vec"].to_numpy()).astype(np.float64).sum(axis=0)
+    n = int(pdf["n"].sum())
+    return pd.DataFrame(
+        {"cell": [pdf["cell"].iloc[0]], "centroid": [(s / n).tolist()]}
+    )
+
+
+def nearest_centroids_udf(centroids, n_probe: int):
+    """UDF: the ``n_probe`` cosine-nearest centroid indices, nearest first —
+    the multi-probe assignment for boundary-pair recall (a vector near a
+    k-means cell boundary gets blocked into BOTH adjacent cells, so a
+    near-dup pair straddling the boundary still shares a block). Same
+    (batch × k) matmul as nearest_centroid_udf plus an argsort over k
+    columns; ties break to the lowest index via a stable sort."""
+    c = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    cn = np.sqrt(np.einsum("ij,ij->i", c, c))
+    cn[cn == 0.0] = 1.0
+    n_probe = min(n_probe, c.shape[0])
+
+    @pandas_udf("array<int>")
     def k(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in batches:
             if not len(s):
-                yield pd.Series(np.empty(0, dtype=np.int64))
+                yield pd.Series(np.empty(0, dtype=object))
                 continue
-            bits = (_matrix(s) @ p.T) > 0
-            yield pd.Series(bits @ weights)
+            m = _matrix(s)
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+            norms[norms == 0.0] = 1.0
+            sims = (m @ c.T) / np.outer(norms, cn)
+            # stable argsort on -sims → ties to the lowest cell index,
+            # consistent with np.argmax in the single-probe kernel
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            yield pd.Series(list(order.astype(np.int32)))
 
     return k
+
+
+def lsh_multi_match_udf(planes_list, query_vec):
+    """UDF: True iff the row's sign bucket equals the query's bucket in ANY
+    of the hyperplane tables — the multi-table LSH candidate predicate.
+    All tables' planes stack into ONE (T·p × dim) matrix, so the per-batch
+    cost is a single matmul regardless of table count; bucket equality is
+    bitwise equality of each table's sign slice (no bucket-id arithmetic).
+    """
+    p_mats = [np.asarray(p, dtype=np.float64) for p in planes_list]
+    n_planes = p_mats[0].shape[0]
+    assert all(p.shape == p_mats[0].shape for p in p_mats)
+    big = np.vstack(p_mats)  # (T*p, dim)
+    t = len(p_mats)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qbits = (big @ q > 0).reshape(t, n_planes)
+
+    @pandas_udf("boolean")
+    def k(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            if not len(s):
+                yield pd.Series(np.empty(0, dtype=bool))
+                continue
+            bits = (_matrix(s) @ big.T) > 0
+            eq = bits.reshape(len(s), t, n_planes) == qbits
+            yield pd.Series(eq.all(axis=2).any(axis=1))
+
+    return k
+
+

@@ -299,18 +299,32 @@ def embedding_near_dups_unlabeled(
     k: int = 16,
     threshold: float = 0.99,
     iters: int = 3,
+    n_probe: int = 2,
 ) -> DataFrame:
     """embedding_near_dups for corpora with NO cluster/label column: k-means
-    cells (similarity.kmeans_cells, deterministic) become the blocking key.
-    Near-identical vectors land in the same cell by construction (cosine
-    assignment), so the blocked pair join keeps the recall of the labeled
-    path while staying O(n²/k) instead of all-pairs."""
-    from pdftableextractor_spark.operators.similarity import kmeans_cells
+    cells (similarity.kmeans_centroids, deterministic) become the blocking
+    key, and every vector is MULTI-PROBE assigned to its ``n_probe`` nearest
+    cells (round-2 verdict fix: with single assignment, two near-identical
+    vectors equidistant between centroids can land in different cells and
+    the pair is silently lost — top-2 probing recovers any pair whose two
+    members agree on at least one of their two nearest cells). Cost:
+    n_probe rows per vector through the blocked join — still O(n²·p²/k),
+    never all-pairs; duplicate candidates from shared cells dedup with one
+    distinct over the (pair, cos) rows."""
+    from pdftableextractor_spark.kernels.vectors import nearest_centroids_udf
+    from pdftableextractor_spark.operators.similarity import kmeans_centroids
 
-    assigned = kmeans_cells(embeddings, k=k, iters=iters).withColumn(
-        "cell", F.col("cell").cast("string")
-    )
-    return embedding_near_dups(assigned, block_col="cell", threshold=threshold)
+    cents = kmeans_centroids(embeddings, k=k, iters=iters)
+    probed = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            nearest_centroids_udf(cents, n_probe)(F.col("embedding"))
+        ).alias("cell"),
+    ).withColumn("cell", F.col("cell").cast("string"))
+    return embedding_near_dups(
+        probed, block_col="cell", threshold=threshold
+    ).distinct()
 
 
 def simhash_near_dups_multiband(

