@@ -54,10 +54,11 @@ def main() -> None:
         token_count,
     )
     from pdftableextractor_spark.session import build_session
+    from pdftableextractor_spark.sources.tables import read_path, write_table
 
     spark = build_session(app_name="curate-job", master=args.master)
     t0 = time.time()
-    docs = spark.read.parquet(f"{args.input}/documents.parquet").withColumn(
+    docs = read_path(spark, f"{args.input}/documents.parquet").withColumn(
         "doc_id", F.col("doc_id").cast("string")
     )
     n0 = docs.count()
@@ -110,7 +111,7 @@ def main() -> None:
             "doc_id",
         )
     )
-    annotated.write.mode("overwrite").parquet(args.output + "/clean")
+    write_table(annotated, args.output + "/clean", mode="overwrite")
     print(
         json.dumps(
             {

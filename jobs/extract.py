@@ -44,6 +44,7 @@ def main() -> None:
     from pdftableextractor_spark.corpus import write_corpus_parquet
     from pdftableextractor_spark.operators.extract import extract_spans
     from pdftableextractor_spark.session import build_session
+    from pdftableextractor_spark.sources.tables import read_path, write_table
 
     spark = build_session(app_name="extract-job", master=args.master)
 
@@ -56,7 +57,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     t0 = time.time()
-    docs = spark.read.parquet(inp)
+    docs = read_path(spark, inp)
     if args.salt == "auto":
         n_files = len(docs.inputFiles())
         cores = spark.sparkContext.defaultParallelism
@@ -75,11 +76,11 @@ def main() -> None:
             for k in ("text", "table_cell", "kv", "media")
         ],
     )
-    out.write.mode("overwrite").parquet(args.output)
+    write_table(out, args.output, mode="overwrite")
     wall = time.time() - t0
     m = obs.get
 
-    n_docs = spark.read.parquet(inp).count()
+    n_docs = read_path(spark, inp).count()
     print(
         json.dumps(
             {

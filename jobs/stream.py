@@ -27,11 +27,12 @@ def main() -> None:
     args = p.parse_args()
 
     from pdftableextractor_spark.session import build_session
+    from pdftableextractor_spark.sources.tables import read_path
     from pdftableextractor_spark.streaming.stream import stream_extract
 
     spark = build_session(app_name="stream-job", master=args.master)
     stream_extract(spark, args.input, args.output, args.checkpoint)
-    n = spark.read.parquet(args.output).count()
+    n = read_path(spark, args.output).count()
     summary = {"spans_total": n}
 
     if args.dedup_output:
@@ -53,7 +54,7 @@ def main() -> None:
             ),
             content_col="spans",
         )
-        summary["unique_docs"] = spark.read.parquet(args.dedup_output).count()
+        summary["unique_docs"] = read_path(spark, args.dedup_output).count()
 
     print(json.dumps(summary))
     spark.stop()

@@ -60,6 +60,7 @@ def main() -> None:
         unified_data_points,
     )
     from pdftableextractor_spark.session import build_session
+    from pdftableextractor_spark.sources.tables import read_path, write_table
 
     spark = build_session(app_name="structure-job", master=args.master)
     inp = args.input
@@ -68,7 +69,7 @@ def main() -> None:
         write_corpus_parquet(inp, args.gen_docs, seed=args.seed)
 
     t0 = time.time()
-    docs = spark.read.parquet(inp)
+    docs = read_path(spark, inp)
     # --stage extracts once and reads the four frames back from parquet;
     # the default lazy path re-runs scan+explode+kernel per frame consumer
     # (6x fan-out) — cheaper HERE because those stages are codegen-fast,
@@ -87,10 +88,10 @@ def main() -> None:
     ).collect()[0]
     salt = 8 if stats["mx"] > 20 * max(stats["md"] or 1, 1) else 1
     unified = unified_data_points(frames, commentary_salt=salt)
-    unified.write.mode("overwrite").parquet(args.output)
+    write_table(unified, args.output, mode="overwrite")
     wall = time.time() - t0
 
-    pts = spark.read.parquet(args.output)
+    pts = read_path(spark, args.output)
     by_src = {
         r["source"]: r["n"]
         for r in pts.groupBy("source").agg(F.count("*").alias("n")).collect()

@@ -527,12 +527,14 @@ def stage_frames(documents: DataFrame, stage_dir: str) -> dict[str, DataFrame]:
     )
     frames = _frames_from(s, pdf_raw)
     spark = documents.sparkSession
+    from pdftableextractor_spark.sources.tables import read_path, write_table
+
     out: dict[str, DataFrame] = {}
     try:
         for name, df in frames.items():
             path = f"{stage_dir.rstrip('/')}/{name}"
-            df.write.mode("overwrite").parquet(path)
-            out[name] = spark.read.parquet(path)
+            write_table(df, path, mode="overwrite")
+            out[name] = read_path(spark, path)
     finally:
         s.unpersist()
         pdf_raw.unpersist()

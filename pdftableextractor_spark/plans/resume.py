@@ -9,9 +9,10 @@ A rerun anti-joins the pending set against the 'done' lineage rows and only
 processes what's missing — kill the job anywhere and rerun; completed buckets
 are skipped, interrupted buckets are rewritten atomically.
 
-Storage here is plain parquet; on a production cluster both tables are
-Iceberg (`format("iceberg")``) and the bucket column becomes a hidden
-``bucket(doc_id, N)`` partition transform — the logic is unchanged.
+Storage routes through the sources/tables.py format seam (FORMAT constant);
+on a production cluster both tables are Iceberg (FORMAT = "iceberg") and the
+bucket column becomes a hidden ``bucket(doc_id, N)`` partition transform —
+the logic is unchanged.
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdftableextractor_spark.sources.tables import read_path, write_table
 from pdftableextractor_spark.types import METRICS_SCHEMA
 
 N_BUCKETS_DEFAULT = 64
@@ -34,7 +36,7 @@ def with_bucket(df: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:
 
 def done_buckets(spark: SparkSession, metrics_path: str, run_id: str) -> set[int]:
     try:
-        m = spark.read.parquet(metrics_path)
+        m = read_path(spark, metrics_path)
     except Exception:
         return set()
     rows = (
@@ -74,8 +76,7 @@ def run_extract_resumable(
     """
     from pdftableextractor_spark.operators.extract import extract_spans
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    docs = with_bucket(spark.read.parquet(input_path), n_buckets)
+    docs = with_bucket(read_path(spark, input_path), n_buckets)
     done = done_buckets(spark, metrics_path, run_id)
     pending = sorted(
         r["bucket_id"]
@@ -98,8 +99,16 @@ def run_extract_resumable(
         out = with_bucket(
             extract_spans(part.select("doc_id", "spans")), n_buckets
         )
-        out.write.mode("overwrite").partitionBy("bucket_id").parquet(
-            output_path
+        # dynamic overwrite as a WRITE option, not a session conf mutation
+        # (round-2 advice: the old spark.conf.set leaked session-wide) —
+        # only the pending buckets' partitions are replaced, the write stays
+        # idempotent per bucket
+        write_table(
+            out,
+            output_path,
+            mode="overwrite",
+            partition_by=["bucket_id"],
+            partitionOverwriteMode="dynamic",
         )
         wall_ms = int((time.time() - t0) * 1000)
         in_stats = {
@@ -116,7 +125,7 @@ def run_extract_resumable(
         # partition-column-only count: reads no data columns
         out_counts = {
             r["bucket_id"]: r["n"]
-            for r in spark.read.parquet(output_path)
+            for r in read_path(spark, output_path)
             .filter(F.col("bucket_id").isin(run_set))
             .groupBy("bucket_id")
             .agg(F.count("*").alias("n"))
@@ -136,9 +145,11 @@ def run_extract_resumable(
             )
             for b in run_set
         ]
-        spark.createDataFrame(rows, METRICS_SCHEMA).write.mode(
-            "append"
-        ).parquet(metrics_path)
+        write_table(
+            spark.createDataFrame(rows, METRICS_SCHEMA),
+            metrics_path,
+            mode="append",
+        )
         processed = len(run_set)
     if fail_after_buckets is not None and processed >= fail_after_buckets:
         raise RuntimeError(

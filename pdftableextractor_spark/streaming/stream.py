@@ -38,7 +38,6 @@ def stream_extract(
 
     from pdftableextractor_spark.operators.extract import extract_spans
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     src = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .option("maxFilesPerTrigger", "8")
@@ -48,13 +47,20 @@ def stream_extract(
     def process_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # idempotent replay: overwrite exactly this batch's partition
-        (
-            extract_spans(batch_df)
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(output_dir)
+        # idempotent replay: overwrite exactly this batch's partition.
+        # dynamic overwrite is a per-WRITE option (not a session conf
+        # mutation — the old spark.conf.set leaked session-wide); the write
+        # routes through the format seam (Iceberg in production)
+        from pdftableextractor_spark.sources.tables import write_table
+
+        write_table(
+            extract_spans(batch_df).withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ),
+            output_dir,
+            mode="overwrite",
+            partition_by=["batch_id"],
+            partitionOverwriteMode="dynamic",
         )
 
     writer = (

@@ -30,6 +30,25 @@ def _expected(seed=11, n=N_DOCS):
     )
 
 
+def test_jobs_leave_session_conf_unchanged(spark, corpus_path, tmp_path):
+    """Round-2 advice: partitionOverwriteMode used to be set session-wide by
+    the resume runner and the streaming sink. It is now a per-WRITE option —
+    the session conf must be byte-identical after both job functions
+    return."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    run_extract_resumable(
+        spark, corpus_path, str(tmp_path / "co"), str(tmp_path / "cm"),
+        run_id="conf1", n_buckets=4,
+    )
+    assert spark.conf.get(key) == before
+    stream_extract(
+        spark, corpus_path.rsplit("/", 1)[0],
+        str(tmp_path / "so"), str(tmp_path / "sck"),
+    )
+    assert spark.conf.get(key) == before
+
+
 def test_resume_after_injected_failure(spark, corpus_path, tmp_path):
     out = str(tmp_path / "out")
     metrics = str(tmp_path / "metrics")
