@@ -39,6 +39,7 @@ from pdftableextractor_spark.operators.dedup import (
     exact_dedup,
     minhash_coeffs,
     minhash_signatures,
+    ngram_decontaminate,
     ngram_jaccard_pairs,
     simhash_near_dups,
     simhash_near_dups_multiband,
@@ -66,6 +67,10 @@ from pdftableextractor_spark.operators.structure import (
     table_points,
     text_fact_points,
     unified_data_points,
+)
+from pdftableextractor_spark.operators.sampling import (
+    pack_shards,
+    stratified_sample,
 )
 from pdftableextractor_spark.operators.multimodal import (
     extract_features,
@@ -404,6 +409,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q22_ngram_jaccard"] = lambda s, d: ngram_jaccard_pairs(
         _docs_str(s, d), block_col="source", n=1, threshold=0.4
+    )
+
+    # ----- corpus composition: decontamination / mixing / shard packing -----
+    def q49(s, d):
+        # benchmark = every 20th doc; survivors = the rest minus any doc
+        # sharing a word 3-gram with the benchmark (GPT-3 appendix-C rule;
+        # n=3 so the synthetic corpus actually has collisions to drop)
+        docs = _docs_str(s, d)
+        is_bench = F.col("doc_id").cast("bigint") % 20 == 0
+        return ngram_decontaminate(
+            docs.filter(~is_bench), docs.filter(is_bench), n=3
+        ).select("doc_id")
+
+    q["q49_decontaminate"] = q49
+
+    q["q50_stratified_sample"] = lambda s, d: stratified_sample(
+        _docs_str(s, d),
+        {"src0": 0.8, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.1,
+    ).select("doc_id", "source")
+
+    q["q51_pack_shards"] = lambda s, d: pack_shards(
+        _docs_str(s, d).select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        ),
+        budget_tokens=2000,
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.col("shard_idx").cast("bigint").alias("shard_idx"),
     )
 
     q["q23_embedding_near_dups"] = lambda s, d: embedding_near_dups(
@@ -1569,6 +1609,59 @@ WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35
 """
     )
 
+
+    # q49: decontamination — word-3-gram slices via inclusive list slicing
+    # (w[i:i+2] = 3 elements); benchmark grams distinct-joined, survivors by
+    # NOT IN (mirrors the engine's broadcast anti-join)
+    o["q49_decontaminate"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id % 20 = 0 AS is_bench,
+         {_WORDS} AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, is_bench, array_to_string(w[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, is_bench, w, unnest(range(1, len(w) - 1)) AS i
+        FROM t WHERE len(w) >= 3)
+), bad AS (
+  SELECT DISTINCT dg.doc_id
+  FROM g dg
+  JOIN (SELECT DISTINCT gram FROM g WHERE is_bench) bg USING (gram)
+  WHERE NOT dg.is_bench
+)
+SELECT doc_id FROM t
+WHERE NOT is_bench AND doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+    # q50: deterministic stratified sampling — same md5-60bit hash as the
+    # engine; thresholds forced to DOUBLE (DuckDB float literals parse as
+    # DECIMAL)
+    o["q50_stratified_sample"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, source
+FROM documents
+WHERE CAST(CAST('0x' || substr(
+          md5('samp:7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT)
+        % 1000000 AS DOUBLE) / 1000000
+      < CASE source WHEN 'src0' THEN CAST(0.8 AS DOUBLE)
+                    WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
+                    WHEN 'src2' THEN CAST(0.25 AS DOUBLE)
+                    ELSE CAST(0.1 AS DOUBLE) END
+"""
+
+    # q51: token-budget shard packing — per-source running sum (HUGEINT →
+    # BIGINT cast, the q07 lesson), greedy boundary rule (cum - own)/budget
+    o["q51_pack_shards"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor((CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens)
+                  / 2000) AS BIGINT) AS shard_idx
+FROM t
+WINDOW w AS (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
 
     o["q26_token_count"] = f"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -277,6 +277,71 @@ def run_scaling(sf_dir: str, n_synth: int, n_lo: int = 4, n_hi: int = 16) -> dic
     }
 
 
+def run_structure_scaling(
+    n_synth: int = 10_000, n_lo: int = 4, n_hi: int = 16
+) -> dict:
+    """Structure-job scaling evidence (the round-2 verdict's open item):
+    the FULL unified pipeline (extraction frames → 4-source union → dedup →
+    lexical commentary → General Commentary rows) at local[N] vs local[4N],
+    warm (one warm-up pass per level), noop sink so disk contention never
+    pollutes the ratio. Also reports a constant-bytes-per-core run (n/4 docs
+    at local[4] vs n docs at local[16]) — if wall time is ~equal there, the
+    sub-linear strong scaling is the host's DRAM ceiling, not a serial
+    section in the job (weak-scaling efficiency ≈ 1 means no such section).
+    """
+    from pdftableextractor_spark.operators.extract import extract_frames
+    from pdftableextractor_spark.operators.structure import (
+        unified_data_points,
+    )
+    from pdftableextractor_spark.session import build_session
+
+    def _run(spark, path):
+        docs = spark.read.parquet(path)
+        (
+            unified_data_points(extract_frames(docs))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    paths = {
+        n_synth: _synth_corpus_path(n_synth, seed=42),
+        n_synth // 4: _synth_corpus_path(n_synth // 4, seed=42),
+    }
+    out: dict = {}
+    for cores, n in ((n_lo, n_synth), (n_hi, n_synth), (n_lo, n_synth // 4)):
+        spark = build_session(
+            app_name=f"struct-scaling-{cores}-{n}",
+            master=f"local[{cores}]",
+        )
+        _run(spark, paths[n])  # warm-up: JIT/codegen/python workers
+        t = min(_timed(lambda: _run(spark, paths[n])) for _ in range(2))
+        out[f"local[{cores}]_docs{n}"] = {"sec": t}
+        spark.stop()
+    t_lo = out[f"local[{n_lo}]_docs{n_synth}"]["sec"]
+    t_hi = out[f"local[{n_hi}]_docs{n_synth}"]["sec"]
+    t_weak = out[f"local[{n_lo}]_docs{n_synth // 4}"]["sec"]
+    strong = round((t_lo / t_hi) / (n_hi / n_lo), 3)
+    # weak scaling: n/4 docs on N cores vs n docs on 4N cores — equal
+    # bytes/core; 1.0 = the job itself has no serial section
+    weak = round(t_weak / t_hi, 3)
+    return {
+        "metric": (
+            f"structure-job scaling efficiency local[{n_lo}] vs"
+            f" local[{n_hi}]"
+        ),
+        "value": strong,
+        "unit": "efficiency",
+        "queries": {
+            "strong_scaling_efficiency": strong,
+            "weak_scaling_efficiency": weak,
+            **{k: v["sec"] for k, v in out.items()},
+        },
+        "synth_docs": n_synth,
+        "detail": out,
+    }
+
+
 def _synth_embeddings_path(n: int, dim: int, n_blocks: int, seed: int = 11) -> str:
     """Deterministic unit-norm embedding table (vec_id, label, embedding)."""
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_artifacts")
@@ -417,6 +482,7 @@ def main() -> None:
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--vectors", action="store_true")
     p.add_argument("--centroids", action="store_true")
+    p.add_argument("--structure-scaling", action="store_true")
     p.add_argument("--synth-docs", type=int, default=None)
     args = p.parse_args()
 
@@ -439,6 +505,8 @@ def main() -> None:
         print(json.dumps(run_vectors()))
     elif args.centroids:
         print(json.dumps(run_centroids()))
+    elif args.structure_scaling:
+        print(json.dumps(run_structure_scaling()))
     else:
         print(json.dumps(run_bench(sf_dir, cpus, n_synth)))
 

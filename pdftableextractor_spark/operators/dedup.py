@@ -426,6 +426,40 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C rule made a batch
+    operator): drop every training document sharing ANY word n-gram with a
+    held-out benchmark/eval set.
+
+    Scale shape (100 TB): the benchmark side is small by definition — its
+    distinct n-gram set is aggregated and BROADCAST, so the docs side is a
+    scan + generator + broadcast left-anti semi probe: no shuffle of corpus
+    data at all. The probe runs on the exploded grams but short-circuits
+    per document via the distinct-doc_id contaminated set.
+
+    Returns the surviving documents (all input columns)."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingles_col(F.col(text_col), n)).alias("g")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        "doc_id", F.explode(shingles_col(F.col(text_col), n)).alias("g")
+    )
+    contaminated = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(contaminated, "doc_id", "left_anti")
+
+
 def cosine_col(a, b):
     """Cosine similarity of two array<float/double> columns, JVM-side.
 

@@ -1,0 +1,85 @@
+"""Corpus composition operators for training-data pipelines: deterministic
+stratified sampling (domain mixing) and token-budget shard packing.
+
+Both are SCAN-SHAPED by design at the 100 TB point:
+
+- ``stratified_sample`` is a pure filter — the keep/drop decision is a
+  per-row md5 hash against the stratum's target fraction, so it is exactly
+  reproducible across runs, cluster sizes, and partitionings (unlike
+  ``df.sample``, whose output depends on partition layout), and Catalyst
+  pushes it like any other predicate. No shuffle.
+- ``pack_shards`` assigns documents to contiguous training shards bounded by
+  a token budget. The cumulative sum is windowed PER GROUP (e.g. per
+  source/domain), never globally — a global running sum would force a
+  single-partition window. Shard identity is (group, shard_idx); packing
+  order within a group is the deterministic id order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 10^6 resolution for the sampling hash: u = md5-60bit % 1e6 / 1e6
+_RES = 1_000_000
+
+
+def _uniform_col(id_col, seed: int):
+    """Deterministic uniform in [0, 1): the shared portable md5 hash
+    (conv(substr(md5, 1, 15), 16, 10), same primitive as the dedup suite)
+    reduced to 6 decimal digits — reproducible bit-for-bit in DuckDB."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"samp:{seed}:"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % _RES).cast("double") / F.lit(float(_RES))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff its deterministic per-id uniform < the stratum's
+    target fraction — hash-based domain mixing. Strata absent from
+    ``fractions`` fall back to ``default_fraction`` (0 = drop)."""
+    frac = F.lit(float(default_fraction))
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(frac)
+    return docs.filter(_uniform_col(id_col, seed) < frac)
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign each document a (group, shard_idx) so that every shard's token
+    sum stays ≤ ``budget_tokens`` + one document (the standard greedy
+    contiguous packing: shard_idx = floor((cum_tokens - own) / budget) over
+    the group's id order — a document straddling the boundary starts in the
+    shard its first token lands in).
+
+    The window partitions by ``group_col``: cumulative sums stay distributed
+    (one partition per group), and shard ids are stable under any physical
+    partitioning. Output adds shard_idx int."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col).cast("bigint")).over(w)
+    return docs.withColumn(
+        "shard_idx",
+        F.floor((cum - F.col(tokens_col)) / F.lit(budget_tokens)).cast("int"),
+    )

@@ -441,6 +441,14 @@ def lexical_commentary(
     # becomes a separate slim frame joined back for WINNING points only.
     # Unsalted path: no duplication risk, so context rides the join and the
     # join-back (one extra pass over the lines lineage) is skipped.
+    # MEASURED (round 3, bench.py --structure-scaling, 10k docs, warm): the
+    # late-materialize-everywhere variant is a LOSS — local[16] 74.2 s →
+    # 92.4 s and 4v16 strong efficiency 0.723 → 0.571; the extra lines pass
+    # + winner join-back cost more than the inline context bytes save. The
+    # remaining sub-0.8 strong scaling is the HOST's DRAM ceiling, proven by
+    # weak scaling: constant bytes/core (2.5k docs @4 cores vs 10k @16) runs
+    # 0.73 — same as strong — so there is no serial section to remove
+    # (BENCH/BASELINE.md round-3 table).
     w_ctx = Window.partitionBy("doc_id").orderBy("line_no").rowsBetween(-1, 2)
     ctx_col = _clean_markers_col(
         F.array_join(F.collect_list("text").over(w_ctx), " ")

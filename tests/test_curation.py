@@ -492,6 +492,86 @@ def test_embedding_near_dups_unlabeled_boundary_pair_multiprobe(spark):
     assert (900, 901) in pairs(2), "multi-probe failed to recover the pair"
 
 
+def test_ngram_decontaminate_drops_exact_overlaps(spark):
+    """A training doc sharing a 13-gram with the benchmark must drop; docs
+    without overlap survive; benchmark docs are not in the output."""
+    from pdftableextractor_spark.operators.dedup import ngram_decontaminate
+
+    secret = " ".join(f"w{i}" for i in range(13))
+    bench = spark.createDataFrame(
+        [("b1", f"leading text {secret} trailing")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            ("d1", f"a copy of the eval: {secret} embedded here"),
+            ("d2", "totally unrelated content with no overlap at all"),
+            ("d3", " ".join(f"w{i}" for i in range(12))),  # only 12 shared
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r["doc_id"] for r in ngram_decontaminate(docs, bench).collect()}
+    assert kept == {"d2", "d3"}
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from pdftableextractor_spark.operators.sampling import stratified_sample
+
+    rows = [(str(i), "a" if i % 2 == 0 else "b") for i in range(2000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out1 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs, {"a": 0.5, "b": 0.1}).collect()
+    )
+    out2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(13), {"a": 0.5, "b": 0.1}
+        ).collect()
+    )
+    assert out1 == out2, "sampling must not depend on partitioning"
+    by_src = {
+        s: sum(1 for i in out1 if (int(i) % 2 == 0) == (s == "a"))
+        for s in ("a", "b")
+    }
+    assert abs(by_src["a"] / 1000 - 0.5) < 0.06
+    assert abs(by_src["b"] / 1000 - 0.1) < 0.04
+    # default_fraction=0 drops unknown strata entirely
+    none = stratified_sample(docs, {"zzz": 1.0}).count()
+    assert none == 0
+
+
+def test_pack_shards_budget_property(spark):
+    from pdftableextractor_spark.operators.sampling import pack_shards
+
+    rows = [
+        (f"{i:04d}", "g1" if i % 3 else "g2", 100 + (i * 37) % 400)
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    out = pack_shards(docs, budget_tokens=1500).collect()
+    # shards are contiguous in id order and each holds ≤ budget + one doc
+    from collections import defaultdict
+
+    shard_tokens = defaultdict(int)
+    shard_rows = defaultdict(list)
+    for r in out:
+        shard_tokens[(r["source"], r["shard_idx"])] += r["n_tokens"]
+        shard_rows[(r["source"], r["shard_idx"])].append(r["doc_id"])
+    for (src, idx), tot in shard_tokens.items():
+        assert tot <= 1500 + 500, f"shard {(src, idx)} overflows: {tot}"
+    # contiguity: sorting all doc_ids per group must list shards in order
+    for src in ("g1", "g2"):
+        seq = [
+            r["shard_idx"]
+            for r in sorted(out, key=lambda r: r["doc_id"])
+            if r["source"] == src
+        ]
+        assert seq == sorted(seq), "shards must be contiguous in id order"
+    # determinism under repartitioning
+    again = pack_shards(docs.repartition(7), budget_tokens=1500).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_line_frequency_dedup_and_pii_redaction(spark):
     from pdftableextractor_spark.operators.textstats import (
         drop_common_lines,
