@@ -13,12 +13,17 @@ One pass over documents(doc_id, text, ...):
   5. language gate        marker-based lang-id in --langs (best-effort;
                           'und' passes — absence of evidence isn't exclusion)
   6. PII scrub            emails/URLs/phones replaced with typed tags
-  7. annotate             token counts + fingerprint on survivors
+  7. decontaminate        drop docs sharing a word n-gram with --benchmark
+                          (skipped when no benchmark parquet is given)
+  8. mix                  deterministic hash-stratified sampling to
+                          --mix 'src=frac,...' targets (skipped when unset)
+  9. annotate + shard     token counts + fingerprint, then token-budget
+                          shard packing (--shard-tokens) per source
 
-Writes <output>/clean (curated corpus with stats columns) and prints a
-one-line JSON funnel summary. The funnel is the canonical shape of an LLM
-training-data pipeline; every stage is a JVM-side operator from
-operators/dedup.py / textstats.py.
+Writes <output>/clean (curated corpus with stats + shard_idx columns) and
+prints a one-line JSON funnel summary. The funnel is the canonical shape of
+an LLM training-data pipeline; every stage is a JVM-side operator from
+operators/dedup.py / textstats.py / sampling.py.
 """
 
 from __future__ import annotations
@@ -36,6 +41,20 @@ def main() -> None:
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
     p.add_argument("--langs", default="en,und")
     p.add_argument("--max-rep", type=float, default=0.5)
+    p.add_argument(
+        "--benchmark",
+        default=None,
+        help="parquet of held-out eval docs (doc_id, text) to decontaminate "
+        "against (word --decontam-n-grams overlap drops the training doc)",
+    )
+    p.add_argument("--decontam-n", type=int, default=13)
+    p.add_argument(
+        "--mix",
+        default=None,
+        help="stratified-sampling targets 'src0=0.8,src1=0.5' (per source "
+        "column; unlisted sources keep everything)",
+    )
+    p.add_argument("--shard-tokens", type=int, default=500_000)
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -44,6 +63,11 @@ def main() -> None:
     from pdftableextractor_spark.operators.dedup import (
         exact_dedup,
         minhash_near_dups,
+        ngram_decontaminate,
+    )
+    from pdftableextractor_spark.operators.sampling import (
+        pack_shards,
+        stratified_sample,
     )
     from pdftableextractor_spark.operators.textstats import (
         fingerprint,
@@ -64,22 +88,30 @@ def main() -> None:
     n0 = docs.count()
 
     reps = exact_dedup(docs).select("doc_id")
-    # persist each funnel stage: the stage counts below would otherwise
-    # recompute the full upstream lineage (minhash included) per count
-    docs1 = docs.join(reps, "doc_id", "left_semi").persist()
+    # localCheckpoint (NOT a bare persist) between stages: every stage joins
+    # docsN against f(docsN), so the LOGICAL PLAN doubles per stage even
+    # when the data is cached — by stage 6 the plan tree is ~40 MB of text
+    # and AQE's plan-change logging alone OOMs the driver (measured; with
+    # the decontaminate/shard stages it crossed the 1 GiB JVM string cap).
+    # localCheckpoint truncates the lineage to the cached blocks, keeping
+    # the plan O(stage) instead of O(2^stage); the count() right after
+    # materializes it. Trade: a lost executor kills the job instead of
+    # recomputing — acceptable inside one batch job, and the resume runner
+    # (plans/resume.py) is the cross-job recovery story.
+    docs1 = docs.join(reps, "doc_id", "left_semi").localCheckpoint()
     n1 = docs1.count()
 
     pairs = minhash_near_dups(
         docs1, n=3, threshold=args.near_dup_threshold
     )
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    docs2 = docs1.join(losers, "doc_id", "left_anti").persist()
+    docs2 = docs1.join(losers, "doc_id", "left_anti").localCheckpoint()
     n2 = docs2.count()
 
     q = quality_score(docs2).select("doc_id", "quality")
     docs3 = docs2.join(q, "doc_id").filter(
         F.col("quality") >= args.min_quality
-    ).persist()
+    ).localCheckpoint()
     n3 = docs3.count()
 
     rep = repetition_stats(docs3.select("doc_id", "text")).select(
@@ -88,19 +120,36 @@ def main() -> None:
     docs3r = docs3.join(rep, "doc_id").filter(
         (F.col("dup_sent_frac") <= args.max_rep)
         & (F.col("top_bigram_frac") <= args.max_rep)
-    ).persist()
+    ).localCheckpoint()
     n3r = docs3r.count()
 
     langs = [x.strip() for x in args.langs.split(",") if x.strip()]
     lid = lang_id(docs3r.select("doc_id", "text")).select("doc_id", "lang_pred")
     docs4 = docs3r.join(lid, "doc_id").filter(
         F.col("lang_pred").isin(langs)
-    ).persist()
+    ).localCheckpoint()
     n4 = docs4.count()
 
     scrubbed = docs4.join(
         redact_pii(docs4.select("doc_id", "text")), "doc_id"
     ).drop("text").withColumnRenamed("clean_text", "text")
+
+    n5 = n6 = None
+    if args.benchmark:
+        bench = read_path(spark, args.benchmark)
+        scrubbed = ngram_decontaminate(
+            scrubbed, bench, n=args.decontam_n
+        ).localCheckpoint()
+        n5 = scrubbed.count()
+    if args.mix:
+        fracs = {
+            k.strip(): float(v)
+            for k, v in (kv.split("=") for kv in args.mix.split(","))
+        }
+        scrubbed = stratified_sample(
+            scrubbed, fracs, default_fraction=1.0
+        ).localCheckpoint()
+        n6 = scrubbed.count()
 
     annotated = (
         scrubbed.join(token_count(scrubbed.select("doc_id", "text")), "doc_id")
@@ -111,20 +160,27 @@ def main() -> None:
             "doc_id",
         )
     )
-    write_table(annotated, args.output + "/clean", mode="overwrite")
-    print(
-        json.dumps(
-            {
-                "input_docs": n0,
-                "after_exact_dedup": n1,
-                "after_near_dup": n2,
-                "after_quality": n3,
-                "after_repetition": n3r,
-                "after_lang": n4,
-                "sec": round(time.time() - t0, 3),
-            }
-        )
+    sharded = pack_shards(
+        annotated, budget_tokens=args.shard_tokens, tokens_col="ws_tokens"
     )
+    write_table(sharded, args.output + "/clean", mode="overwrite")
+    out = read_path(spark, args.output + "/clean")
+    n_shards = out.select("source", "shard_idx").distinct().count()
+    summary = {
+        "input_docs": n0,
+        "after_exact_dedup": n1,
+        "after_near_dup": n2,
+        "after_quality": n3,
+        "after_repetition": n3r,
+        "after_lang": n4,
+        "shards": n_shards,
+        "sec": round(time.time() - t0, 3),
+    }
+    if n5 is not None:
+        summary["after_decontaminate"] = n5
+    if n6 is not None:
+        summary["after_mix"] = n6
+    print(json.dumps(summary))
     spark.stop()
 
 

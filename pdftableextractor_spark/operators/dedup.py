@@ -66,8 +66,22 @@ def tokenize_col(col):
 
 
 def shingles_col(col, n: int):
-    """Distinct word n-grams of the token array (sorted for set semantics)."""
+    """Distinct word n-grams of the token array (sorted for set semantics).
+
+    CAUTION for n ≳ 4: the gram lambda references the token array n times;
+    if ``col`` is a derived EXPRESSION (not a bound column), Catalyst
+    inlines it into every element_at — the expression tree grows n × the
+    input lineage and large n over a complex column OOMs codegen. Use
+    ``shingles_from_tokens_col`` after a projection barrier instead
+    (ngram_decontaminate does)."""
     w = tokenize_col(col)
+    if n == 1:
+        return F.array_sort(F.array_distinct(w))
+    return shingles_from_tokens_col(w, n)
+
+
+def shingles_from_tokens_col(w, n: int):
+    """n-grams over an existing token-array column."""
     if n == 1:
         return F.array_sort(F.array_distinct(w))
     gram = F.transform(
@@ -442,16 +456,28 @@ def ngram_decontaminate(
     data at all. The probe runs on the exploded grams but short-circuits
     per document via the distinct-doc_id contaminated set.
 
-    Returns the surviving documents (all input columns)."""
-    bench_grams = (
-        benchmark.select(
-            F.explode(shingles_col(F.col(text_col), n)).alias("g")
+    Returns the surviving documents (all input columns).
+
+    Implementation note: tokenization happens in its OWN projection before
+    the gram transform (shingles_from_tokens_col) — the gram lambda
+    references the token array n times, and over a derived text column
+    (e.g. the curation funnel's redacted text) Catalyst would inline the
+    whole upstream lineage into each reference: at n=13 that OOM'd codegen.
+    The barrier keeps the reference a bound attribute."""
+
+    def _grams(df, *keep):
+        toks = df.select(
+            *keep, tokenize_col(F.col(text_col)).alias("__w")
         )
-        .distinct()
-    )
-    doc_grams = docs.select(
-        "doc_id", F.explode(shingles_col(F.col(text_col), n)).alias("g")
-    )
+        return toks.select(
+            *keep,
+            F.explode_outer(shingles_from_tokens_col(F.col("__w"), n)).alias(
+                "g"
+            ),
+        ).filter(F.col("g").isNotNull())
+
+    bench_grams = _grams(benchmark).distinct()
+    doc_grams = _grams(docs, "doc_id")
     contaminated = (
         doc_grams.join(F.broadcast(bench_grams), "g")
         .select("doc_id")
