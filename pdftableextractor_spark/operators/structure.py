@@ -248,13 +248,20 @@ def dedup_first_wins(points: DataFrame) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         "field", "value", "src_rank", "offset", "seq"
     )
-    # null-safe on purpose: lag(...).isNull() would conflate "first row in
-    # partition" with "previous field is NULL", and != yields NULL (not
-    # true) when either side is NULL — a null field/value row would silently
-    # corrupt the dedup. eqNullSafe over the (field, value) struct keeps the
-    # run detection exact for any input.
-    key = F.struct(F.col("field"), F.col("value"))
-    first = ~key.eqNullSafe(F.lag(key).over(w))
+    # null-safe on purpose: a bare lag(...).isNull() would conflate "first
+    # row in partition" with "previous field is NULL", and != yields NULL
+    # (not true) when either side is NULL — a null field/value row would
+    # silently corrupt the dedup. Per-COLUMN eqNullSafe lags plus a
+    # lag(lit(1)) partition-start sentinel: a lagged STRUCT here measured
+    # +40% on the whole structure_points query (5.9 s vs 4.2 s at sf0.1 —
+    # per-row struct allocation in the window), primitive lags are free.
+    first = (
+        F.lag(F.lit(1)).over(w).isNull()  # partition start, null-proof
+        | ~(
+            F.col("field").eqNullSafe(F.lag("field").over(w))
+            & F.col("value").eqNullSafe(F.lag("value").over(w))
+        )
+    )
     return (
         points.withColumn("__first", first)
         .filter(F.col("__first"))

@@ -33,6 +33,45 @@ def test_star_join_broadcasts_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # nation and region
 
 
+def test_stratified_sample_is_shuffle_free(spark):
+    """Hash sampling must stay a pure scan-side filter — zero Exchanges."""
+    from pdftableextractor_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    plan = _plan(stratified_sample(docs, {"src0": 0.5}))
+    assert "Exchange" not in plan.split("== Physical Plan ==")[1]
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast — the corpus side is probed
+    with a BroadcastHashJoin, never shuffled against the benchmark."""
+    from pdftableextractor_spark.operators.dedup import ngram_decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    bench = docs.limit(5)
+    plan = _plan(ngram_decontaminate(docs, bench, n=3))
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "BroadcastHashJoin" in phys
+
+
+def test_pack_shards_single_group_exchange(spark):
+    """Shard packing must window per group: exactly one hashpartitioning
+    Exchange (on the group column), never a global single-partition sort."""
+    from pdftableextractor_spark.operators.sampling import pack_shards
+
+    docs = spark.createDataFrame(
+        [(f"{i:03d}", f"g{i % 4}", 100) for i in range(100)],
+        ["doc_id", "source", "n_tokens"],
+    )
+    phys = _plan(pack_shards(docs, 1000)).split("== Physical Plan ==")[1]
+    assert phys.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in phys
+
+
 def test_extract_reads_two_scans_one_shuffle(spark):
     docs = spark.createDataFrame(
         [("d1", [("text", "Hello world.", "", 0)])],
