@@ -34,6 +34,7 @@ from pdftableextractor_spark.functions.strings import (
 )
 from pdftableextractor_spark.operators.dedup import (
     MINHASH_P,
+    connected_components,
     embedding_near_dups,
     embedding_near_dups_unlabeled,
     exact_dedup,
@@ -410,6 +411,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q22_ngram_jaccard"] = lambda s, d: ngram_jaccard_pairs(
         _docs_str(s, d), block_col="source", n=1, threshold=0.4
     )
+
+    # near-dup CLUSTERS: transitive closure of the q22 pair graph via
+    # alternating large-star/small-star; every doc labeled with its
+    # component's min doc_id (singletons label themselves)
+    def q52(s, d):
+        docs = _docs_str(s, d)
+        cc = connected_components(
+            ngram_jaccard_pairs(docs, block_col="source", n=1, threshold=0.4)
+        )
+        return docs.join(
+            cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+
+    q["q52_dup_clusters"] = q52
 
     # ----- corpus composition: decontamination / mixing / shard packing -----
     def q49(s, d):
@@ -1496,6 +1514,38 @@ FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
 WHERE len(a.s) > 0 AND len(b.s) > 0
   AND round(len(list_intersect(a.s, b.s)) /
       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.4
+"""
+
+    # q52: duplicate clusters — transitive closure of the q22 pair graph.
+    # DuckDB side: recursive CTE computing full reachability (UNION dedups,
+    # so it terminates), then min label per node; the engine's
+    # large-star/small-star contraction must agree exactly. VARCHAR min is
+    # codepoint-ordered in both engines, so lexicographic roots match.
+    o["q52_dup_clusters"] = f"""
+WITH RECURSIVE sh AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source AS block,
+         list_distinct({_WORDS}) AS s
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE len(a.s) > 0 AND len(b.s) > 0
+    AND round(len(list_intersect(a.s, b.s)) /
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.4
+), e AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM p
+), reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+), lbl AS (
+  SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u
+)
+SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+LEFT JOIN lbl l USING (doc_id)
 """
 
     o["q23_embedding_near_dups"] = """

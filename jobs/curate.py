@@ -5,8 +5,13 @@
 
 One pass over documents(doc_id, text, ...):
   1. exact dedup          keep the lowest doc_id per md5(text)
-  2. near-dup removal     MinHash-LSH (trigram) pairs; drop the higher
-                          doc_id of every confirmed pair
+  2. near-dup removal     MinHash-LSH (trigram) pairs -> connected
+                          components (large-star/small-star); keep the min
+                          doc_id of each duplicate CLUSTER (transitive
+                          closure — the industry-standard semantics; pairs
+                          (a,c),(b,c) collapse to one survivor, not two).
+                          --near-dup-mode pair restores the old per-pair
+                          drop-the-higher rule
   3. quality gate         composite quality score >= --min-quality
   4. repetition gate      Gopher-style: dup-sentence fraction and
                           top-bigram fraction below --max-rep
@@ -39,6 +44,13 @@ def main() -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--min-quality", type=float, default=0.3)
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
+    p.add_argument(
+        "--near-dup-mode",
+        choices=["cluster", "pair"],
+        default="cluster",
+        help="cluster = transitive-closure dedup (keep min of each "
+        "connected component); pair = drop doc_b of every pair",
+    )
     p.add_argument("--langs", default="en,und")
     p.add_argument("--max-rep", type=float, default=0.5)
     p.add_argument(
@@ -61,6 +73,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from pdftableextractor_spark.operators.dedup import (
+        connected_components,
         exact_dedup,
         minhash_near_dups,
         ngram_decontaminate,
@@ -104,7 +117,14 @@ def main() -> None:
     pairs = minhash_near_dups(
         docs1, n=3, threshold=args.near_dup_threshold
     )
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    if args.near_dup_mode == "cluster":
+        losers = (
+            connected_components(pairs)
+            .filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("doc_id"))
+        )
+    else:
+        losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     docs2 = docs1.join(losers, "doc_id", "left_anti").localCheckpoint()
     n2 = docs2.count()
 

@@ -16,6 +16,8 @@ Operators:
   simhash_signatures     60-bit simhash via per-bit vote aggregation
   simhash_near_dups      bit_count(xor) Hamming join within LSH-prefix blocks
   ngram_jaccard_pairs    exact pairwise Jaccard within a blocking key
+  connected_components   pair graph -> duplicate clusters (large-star/
+                         small-star contraction, O(log n) shuffle rounds)
   embedding_near_dups    cosine near-dup pairs within a blocking key
 
 Scale notes (100 TB): every signature is computed scan-side with no shuffle;
@@ -542,4 +544,118 @@ def embedding_near_dups(
             F.round(pcos(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Transitive closure over near-dup pairs → ``(node, component)`` where
+    ``component`` is the minimum node id of the connected component.
+
+    Pair-level dedup ("drop doc_b of every pair") is not transitive: with
+    pairs (a,c) and (b,c) it keeps both a and b even though all three are
+    one duplicate cluster. The standard corpus-dedup semantics — keep ONE
+    canonical document per cluster — needs the connected components of the
+    pair graph.
+
+    Algorithm: alternating large-star / small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14).
+    Each round is two groupBy+join passes over the edge list and the edge
+    set converges to per-component stars in O(log n) rounds EVEN for path
+    graphs — naive min-label propagation needs O(diameter) shuffle rounds,
+    and chain-shaped near-dup clusters (a~b~c~…, each link above threshold
+    but the ends below it) are exactly the common case at corpus scale.
+
+      large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+      small-star(u): over edges directed hi→lo, m = min(N(u));
+                     emit (v, m) for the smaller neighbors v ≠ m, plus (u, m)
+
+    Scale notes (100 TB): state is the edge list only — O(pairs) rows of two
+    id columns, shuffled on uniform ids (no planted skew; a mega-cluster's
+    star root is the one hot key, and it shrinks every round as edges
+    dedup). Lineage is truncated per round with an eager localCheckpoint
+    (the curate-funnel lesson: iterative self-referencing plans otherwise
+    double per round). Convergence is detected with one aggregate —
+    (count, xor of per-edge xxhash64) — not a full set-difference join.
+
+    Node ids compare with their column ordering (string ids → lexicographic;
+    both engines use codepoint order, so the DuckDB oracle agrees). Output
+    covers every node that appears in at least one pair; singletons are the
+    caller's coalesce (see q52).
+    """
+    e = (
+        pairs.select(
+            F.col(a_col).cast("string").alias("u"),
+            F.col(b_col).cast("string").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(edges: DataFrame) -> tuple[int, int]:
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor is a distributed map-side-combining aggregate;
+            # order-independent and collision-safe enough for a convergence
+            # check (a false "converged" needs two edge SETS with equal
+            # count and equal 64-bit xor)
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    def _large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mn = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        return (
+            sym.join(mn, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"),
+            )
+            .distinct()
+        )
+
+    def _small_star(edges: DataFrame) -> DataFrame:
+        d = (
+            edges.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mn = d.groupBy("u").agg(F.min("v").alias("m"))
+        joined = d.join(mn, "u")
+        return (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .unionByName(mn.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+        )
+
+    sig = _signature(e)
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # converged star graph: each non-root points at its root; roots map to
+    # themselves. The groupBy-min keeps the result well-defined even if
+    # max_rounds cut the loop short of a fixpoint.
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(
+            e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
     )

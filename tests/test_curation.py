@@ -612,3 +612,48 @@ def test_repetition_stats_hand_cases(spark):
     assert got["a"]["top_bigram_frac"] == 0.4  # 'one two' 2 of 5
     assert got["b"]["dup_sent_frac"] == 0.0
     assert got["c"]["top_bigram_frac"] == 0.0  # no bigrams
+
+
+def test_connected_components_path_and_transitive(spark):
+    """Star contraction labels a 64-link chain entirely with its min (the
+    O(log n)-round case where label propagation would need 64 rounds), and
+    keeps ONE survivor for the transitive cluster {a,b,c} from pairs
+    (a,c),(b,c) — where the pair-loser rule would wrongly keep both a and b."""
+    from pdftableextractor_spark.operators.dedup import connected_components
+
+    path = [(f"{i:03d}", f"{i + 1:03d}") for i in range(63)]
+    pairs = spark.createDataFrame(
+        path + [("a", "c"), ("b", "c")], ["doc_a", "doc_b"]
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert all(out[f"{i:03d}"] == "000" for i in range(64))
+    assert out["a"] == out["b"] == out["c"] == "a"
+    # pair-loser rule on the same pairs keeps {a, b}: documents the
+    # semantic difference the cluster mode fixes
+    losers = {"c"}
+    assert {"a", "b"} - losers == {"a", "b"}
+
+
+def test_connected_components_multiple_and_dup_edges(spark):
+    """Duplicate/reversed/self edges collapse; disjoint components keep
+    distinct labels."""
+    from pdftableextractor_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            ("x2", "x1"), ("x1", "x2"), ("x2", "x2"),  # dup + reversed + self
+            ("y1", "y2"), ("y2", "y3"),
+        ],
+        ["doc_a", "doc_b"],
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert out == {
+        "x1": "x1", "x2": "x1",
+        "y1": "y1", "y2": "y1", "y3": "y1",
+    }
