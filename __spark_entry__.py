@@ -46,6 +46,7 @@ from pdftableextractor_spark.operators.dedup import (
     simhash_near_dups_multiband,
     simhash_signatures,
 )
+from pdftableextractor_spark.operators.ranking import bm25_scores
 from pdftableextractor_spark.operators.extract import (
     extract_frames,
     extract_spans,
@@ -515,6 +516,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q28_lang_id"] = q28
 
     q["q29_fingerprint"] = lambda s, d: fingerprint(_docs_str(s, d))
+
+    # BM25 lexical relevance for a 3-term query; score rounded for the
+    # cross-engine compare (double math is order-matched with the oracle)
+    q["q53_bm25"] = lambda s, d: bm25_scores(
+        _docs_str(s, d), ["scan", "spark", "table"]
+    ).select("doc_id", F.round("score", 6).alias("bm25"))
 
     # cross-doc line-frequency dedup (CCNet-style): the interleave's raw
     # text lines plant 7 recurring footnote templates — high doc_freq —
@@ -1982,6 +1989,32 @@ SELECT asset_id,
 FROM (SELECT asset_id, payload,
              unnest(range(0, duration_ms + 1, 5000)) AS ts_ms
       FROM v)
+"""
+
+    # q53: BM25 — conditional-aggregation tf per term + one stats row,
+    # float expression order matched term-by-term with the engine
+    # (((s0 + s1) + s2), constants forced to DOUBLE — DuckDB literal trap)
+    o["q53_bm25"] = f"""
+WITH t AS (
+  SELECT doc_id, w FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest({_WORDS}) AS w
+    FROM documents) WHERE w <> ''
+), pd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+         CAST(sum(CASE WHEN w = 'scan' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+         CAST(sum(CASE WHEN w = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+         CAST(sum(CASE WHEN w = 'table' THEN 1 ELSE 0 END) AS BIGINT) AS tf2,
+  FROM t GROUP BY doc_id
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM pd
+)
+SELECT doc_id, round((((ln(CAST(1.0 AS DOUBLE) + (n_docs - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE))) * tf0 * CAST(2.2 AS DOUBLE)) / (tf0 + (CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + ((CAST(0.75 AS DOUBLE) * dl) / avgdl)))) + (ln(CAST(1.0 AS DOUBLE) + (n_docs - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE))) * tf1 * CAST(2.2 AS DOUBLE)) / (tf1 + (CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + ((CAST(0.75 AS DOUBLE) * dl) / avgdl))))) + (ln(CAST(1.0 AS DOUBLE) + (n_docs - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) * tf2 * CAST(2.2 AS DOUBLE)) / (tf2 + (CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + ((CAST(0.75 AS DOUBLE) * dl) / avgdl))))), 6) AS bm25
+FROM pd CROSS JOIN st
+WHERE (((ln(CAST(1.0 AS DOUBLE) + (n_docs - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE))) * tf0 * CAST(2.2 AS DOUBLE)) / (tf0 + (CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + ((CAST(0.75 AS DOUBLE) * dl) / avgdl)))) + (ln(CAST(1.0 AS DOUBLE) + (n_docs - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE))) * tf1 * CAST(2.2 AS DOUBLE)) / (tf1 + (CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + ((CAST(0.75 AS DOUBLE) * dl) / avgdl))))) + (ln(CAST(1.0 AS DOUBLE) + (n_docs - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE))) * tf2 * CAST(2.2 AS DOUBLE)) / (tf2 + (CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + ((CAST(0.75 AS DOUBLE) * dl) / avgdl))))) > 0
 """
 
     o["q30_multimodal_meta"] = f"""

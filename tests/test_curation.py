@@ -657,3 +657,43 @@ def test_connected_components_multiple_and_dup_edges(spark):
         "x1": "x1", "x2": "x1",
         "y1": "y1", "y2": "y1", "y3": "y1",
     }
+
+
+def test_bm25_matches_hand_math_and_topk(spark):
+    """BM25 equals the textbook formula computed in pure Python; top-k is
+    ordered by (score desc, doc_id); term-free docs are excluded."""
+    import math
+
+    from pdftableextractor_spark.operators.ranking import bm25_scores, bm25_topk
+
+    rows = [
+        ("d1", "table table scan"),
+        ("d2", "spark"),
+        ("d3", "x y z"),
+        ("d4", "table scan spark table scan"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    terms = sorted(["scan", "spark", "table"])
+    docs = {i: t.split() for i, t in rows}
+    N = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / N
+    k1, b = 1.2, 0.75
+
+    def score(doc_id):
+        dl = len(docs[doc_id])
+        s = 0.0
+        for t in terms:
+            tf = docs[doc_id].count(t)
+            dfreq = sum(1 for w in docs.values() if t in w)
+            idf = math.log(1.0 + (N - dfreq + 0.5) / (dfreq + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return s
+
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(df, terms).collect()}
+    assert set(got) == {"d1", "d2", "d4"}  # d3 has no query term
+    for d, s in got.items():
+        assert abs(s - score(d)) < 1e-9, (d, s, score(d))
+
+    top = [r["doc_id"] for r in bm25_topk(df, terms, k=2).collect()]
+    expected = sorted(got, key=lambda d: (-got[d], d))[:2]
+    assert top == expected

@@ -135,3 +135,44 @@ def test_footnote_frame_matches_oracle_on_fuzzed_docs(spark, docs):
     for d in docs:
         exp = oracle_footnotes(d)
         assert sorted(got.get(d["doc_id"], [])) == sorted(exp), d["doc_id"]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Star-contraction CC must equal a sequential union-find on arbitrary
+    graphs (self-loops, duplicates, reversed edges, disconnected parts)."""
+    from pdftableextractor_spark.operators.dedup import connected_components
+
+    real = [(f"{a:02d}", f"{b:02d}") for a, b in edges if a != b]
+    if not real:
+        return
+    # sequential oracle: union-find with path compression, min-label roots
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    exp = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(real, ["doc_a", "doc_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == exp
