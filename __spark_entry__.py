@@ -73,6 +73,7 @@ from pdftableextractor_spark.operators.structure import (
 from pdftableextractor_spark.operators.sampling import (
     pack_shards,
     stratified_sample,
+    temperature_mix,
 )
 from pdftableextractor_spark.operators.multimodal import (
     extract_features,
@@ -447,6 +448,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs_str(s, d),
         {"src0": 0.8, "src1": 0.5, "src2": 0.25},
         default_fraction=0.1,
+    ).select("doc_id", "source")
+
+    # temperature-alpha mixture sampling (p_s ~ n_s^alpha): fractions
+    # computed distributed, broadcast back, deterministic hash keep-rule
+    q["q54_temperature_mix"] = lambda s, d: temperature_mix(
+        _docs_str(s, d), alpha=0.5, budget_frac=0.5
     ).select("doc_id", "source")
 
     q["q51_pack_shards"] = lambda s, d: pack_shards(
@@ -1718,6 +1725,31 @@ SELECT doc_id, source, n_tokens,
 FROM t
 WINDOW w AS (PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+    # q54: temperature mixing — per-source n^alpha fractions (float
+    # expression order matched with the engine), q50's hash keep-rule
+    o["q54_temperature_mix"] = """
+WITH per AS (
+  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), pw AS (
+  SELECT stratum, n_docs,
+         pow(CAST(n_docs AS DOUBLE), CAST(0.5 AS DOUBLE)) AS w
+  FROM per
+), tot AS (
+  SELECT sum(w) AS w_tot, CAST(sum(n_docs) AS BIGINT) AS n_tot FROM pw
+), fr AS (
+  SELECT stratum,
+         least(CAST(1.0 AS DOUBLE),
+               ((CAST(0.5 AS DOUBLE) * n_tot) * (w / w_tot)) / n_docs) AS frac
+  FROM pw CROSS JOIN tot
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, d.source
+FROM documents d JOIN fr ON fr.stratum = d.source
+WHERE CAST(CAST('0x' || substr(
+          md5('samp:7:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS UBIGINT)
+        % 1000000 AS DOUBLE) / 1000000 < frac
 """
 
     o["q26_token_count"] = f"""

@@ -83,3 +83,71 @@ def pack_shards(
         "shard_idx",
         F.floor((cum - F.col(tokens_col)) / F.lit(budget_tokens)).cast("int"),
     )
+
+
+def temperature_fractions(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Per-stratum keep fractions for temperature-based mixture sampling
+    (the multinomial-smoothing rule used by multilingual/LLM corpus mixes):
+
+        p_s       = n_s^alpha / sum_t n_t^alpha     -- draw probability
+        keep_s    = min(1, B * p_s / n_s)           -- per-doc keep fraction
+
+    with B = ``budget_frac`` * total docs. alpha < 1 up-weights small
+    strata; alpha = 1 is proportional (keep = budget_frac everywhere).
+
+    Returns (stratum, n_docs, frac) — one row per stratum, computed with a
+    groupBy + a single-row broadcast cross-join; nothing touches the driver.
+    """
+    per = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    pw = per.withColumn(
+        "w", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    )
+    tot = pw.agg(
+        F.sum("w").alias("w_tot"),
+        F.sum("n_docs").alias("n_tot"),
+    )
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_docs",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_frac))
+                * F.col("n_tot")
+                * (F.col("w") / F.col("w_tot"))
+                / F.col("n_docs"),
+            ).alias("frac"),
+        )
+    )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Sample the corpus to a temperature-alpha mixture: compute per-stratum
+    keep fractions distributed (``temperature_fractions``), broadcast-join
+    them back (one row per stratum — always broadcastable), and keep rows by
+    the same deterministic per-id hash as ``stratified_sample``. Exactly
+    reproducible across runs, partitionings, and cluster sizes."""
+    fr = temperature_fractions(docs, alpha, budget_frac, stratum_col)
+    return (
+        docs.join(
+            F.broadcast(fr.select(F.col("stratum").alias(stratum_col), "frac")),
+            stratum_col,
+        )
+        .filter(_uniform_col(id_col, seed) < F.col("frac"))
+        .drop("frac")
+    )

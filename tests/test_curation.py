@@ -697,3 +697,38 @@ def test_bm25_matches_hand_math_and_topk(spark):
     top = [r["doc_id"] for r in bm25_topk(df, terms, k=2).collect()]
     expected = sorted(got, key=lambda d: (-got[d], d))[:2]
     assert top == expected
+
+
+def test_temperature_mix_upweights_small_strata(spark):
+    """alpha<1 keeps a larger FRACTION of small strata than big ones; the
+    keep fraction caps at 1; alpha=1 reduces to proportional sampling."""
+    from pdftableextractor_spark.operators.sampling import (
+        temperature_fractions,
+        temperature_mix,
+    )
+
+    rows = [(f"{i:04d}", "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    fr = {
+        r["stratum"]: r["frac"]
+        for r in temperature_fractions(docs, alpha=0.5, budget_frac=0.5).collect()
+    }
+    assert fr["small"] > fr["big"]  # up-weighted
+    assert fr["small"] <= 1.0 and fr["big"] > 0.0
+    # alpha=1: every stratum keeps exactly budget_frac
+    fr1 = {
+        r["stratum"]: r["frac"]
+        for r in temperature_fractions(docs, alpha=1.0, budget_frac=0.5).collect()
+    }
+    assert abs(fr1["small"] - 0.5) < 1e-12 and abs(fr1["big"] - 0.5) < 1e-12
+    # tiny stratum + generous budget: frac caps at 1 (never oversamples)
+    fr_cap = {
+        r["stratum"]: r["frac"]
+        for r in temperature_fractions(docs, alpha=0.1, budget_frac=0.9).collect()
+    }
+    assert fr_cap["small"] == 1.0
+    # mix is deterministic: two runs agree row-for-row
+    a = sorted(r["doc_id"] for r in temperature_mix(docs, 0.5, 0.5).collect())
+    b = sorted(r["doc_id"] for r in temperature_mix(docs, 0.5, 0.5).collect())
+    assert a == b and 0 < len(a) < 1000
