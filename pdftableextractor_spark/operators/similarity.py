@@ -253,3 +253,76 @@ def ivf_topk(
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    seed: int = 9,
+) -> None:
+    """Build and PERSIST an IVF index — the build-once / query-many split
+    that ANN needs at corpus scale (rebuilding k-means per query, as
+    ``ivf_topk`` over a raw table does, only makes sense for exploratory
+    one-offs):
+
+      <path>/centroids    (cell int, centroid array<double>)   k rows
+      <path>/vectors      (vec_id, embedding, cell) PARTITIONED BY cell
+
+    Partitioning the vectors by cell is the point: the query path's probe
+    filter becomes a PARTITION filter, so a query reads nprobe/k of the
+    index files instead of scanning the corpus. Writes go through the
+    storage-format seam (parquet here, Iceberg in production)."""
+    from pdftableextractor_spark.sources.tables import write_table
+
+    cents = kmeans_centroids(embeddings, k=k, iters=iters, id_col=id_col, seed=seed)
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
+    )
+    write_table(cdf, f"{path}/centroids")
+    from pdftableextractor_spark.kernels.vectors import nearest_centroid_udf
+
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        "embedding",
+        nearest_centroid_udf(cents)(F.col("embedding")).alias("cell"),
+    )
+    write_table(assigned, f"{path}/vectors", partition_by=["cell"])
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Query a persisted IVF index: rank the k stored centroids against the
+    query (k rows — driver-trivial), then brute-force ONLY the ``nprobe``
+    best cells. The probe set is applied as a LITERAL isin predicate so it
+    compiles to a static partition filter — the scan plans exactly
+    nprobe/k of the index partitions, no job touches the rest (a
+    broadcast-join probe would need runtime DPP; a literal filter prunes at
+    planning time and is collect-O(nprobe)-ints cheap)."""
+    from pdftableextractor_spark.sources.tables import read_path
+
+    cos = cosine_to_query_udf(query_vec)
+    cents = read_path(spark, f"{path}/centroids")
+    probes = [
+        int(r["cell"])
+        for r in cents.select(
+            "cell", cos(F.col("centroid")).alias("ccos")
+        )
+        .orderBy(F.desc("ccos"), F.asc("cell"))
+        .limit(nprobe)
+        .collect()
+    ]
+    vecs = read_path(spark, f"{path}/vectors").filter(F.col("cell").isin(probes))
+    return (
+        vecs.select("vec_id", F.round(cos(F.col("embedding")), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )

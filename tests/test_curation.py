@@ -732,3 +732,33 @@ def test_temperature_mix_upweights_small_strata(spark):
     a = sorted(r["doc_id"] for r in temperature_mix(docs, 0.5, 0.5).collect())
     b = sorted(r["doc_id"] for r in temperature_mix(docs, 0.5, 0.5).collect())
     assert a == b and 0 < len(a) < 1000
+
+
+def test_ivf_index_persist_and_partition_pruned_query(spark, tmp_path):
+    """build_ivf_index + ivf_topk_indexed return exactly what the
+    non-persisted kmeans_cells->ivf_topk path returns for the same fit, and
+    the probe filter reaches the scan as a PARTITION filter (the query
+    plans nprobe/k of the index, it does not scan the corpus)."""
+    from pdftableextractor_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        kmeans_cells,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, k=8, iters=2)
+
+    got = ivf_topk_indexed(spark, idx, q, k=10, nprobe=2)
+    exp = ivf_topk(
+        kmeans_cells(emb, k=8, iters=2), q, k=10, nprobe=2, cell_col="cell"
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exp.collect()]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:120]
