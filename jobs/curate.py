@@ -21,7 +21,9 @@ One pass over documents(doc_id, text, ...):
   7. decontaminate        drop docs sharing a word n-gram with --benchmark
                           (skipped when no benchmark parquet is given)
   8. mix                  deterministic hash-stratified sampling to
-                          --mix 'src=frac,...' targets (skipped when unset)
+                          --mix 'src=frac,...' targets, or temperature-
+                          alpha mixing with --temp-mix 'alpha:budget_frac'
+                          (p_s ~ n_s^alpha; skipped when both unset)
   9. annotate + shard     token counts + fingerprint, then token-budget
                           shard packing (--shard-tokens) per source
 
@@ -66,6 +68,12 @@ def main() -> None:
         help="stratified-sampling targets 'src0=0.8,src1=0.5' (per source "
         "column; unlisted sources keep everything)",
     )
+    p.add_argument(
+        "--temp-mix",
+        default=None,
+        help="temperature mixing 'alpha:budget_frac' (e.g. '0.7:0.5'): "
+        "keep fractions p_s ~ n_s^alpha normalized to the token budget",
+    )
     p.add_argument("--shard-tokens", type=int, default=500_000)
     p.add_argument("--master", default=None)
     args = p.parse_args()
@@ -81,6 +89,7 @@ def main() -> None:
     from pdftableextractor_spark.operators.sampling import (
         pack_shards,
         stratified_sample,
+        temperature_mix,
     )
     from pdftableextractor_spark.operators.textstats import (
         fingerprint,
@@ -168,6 +177,12 @@ def main() -> None:
         }
         scrubbed = stratified_sample(
             scrubbed, fracs, default_fraction=1.0
+        ).localCheckpoint()
+        n6 = scrubbed.count()
+    if args.temp_mix:
+        alpha, budget = (float(x) for x in args.temp_mix.split(":"))
+        scrubbed = temperature_mix(
+            scrubbed, alpha=alpha, budget_frac=budget
         ).localCheckpoint()
         n6 = scrubbed.count()
 
