@@ -39,6 +39,7 @@ from pdftableextractor_spark.operators.dedup import (
     embedding_near_dups_unlabeled,
     exact_dedup,
     minhash_coeffs,
+    minhash_near_dups_incremental,
     minhash_signatures,
     ngram_decontaminate,
     ngram_jaccard_pairs,
@@ -430,6 +431,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q52_dup_clusters"] = q52
+
+    # incremental near-dup: the doc_id%5==0 slice arrives as a NEW batch
+    # against the standing corpus; pairs must involve >= 1 new doc.
+    # num_hashes=16 (4 bands x 4 rows) keeps the oracle's cross join small;
+    # the engine path is the same code as the 64-hash default.
+    def q55(s, d):
+        docs = _docs_str(s, d)
+        is_new = F.col("doc_id").cast("bigint") % 5 == 0
+        return minhash_near_dups_incremental(
+            docs.filter(is_new),
+            docs.filter(~is_new),
+            n=1,
+            threshold=0.5,
+            num_hashes=16,
+        )
+
+    q["q55_incremental_dups"] = q55
 
     # ----- corpus composition: decontamination / mixing / shard packing -----
     def q49(s, d):
@@ -1485,6 +1503,52 @@ SELECT doc_id,
        md5(string_agg(CASE WHEN i < 4 THEN CAST(mh AS VARCHAR) END,
                       chr(31) ORDER BY i)) AS band0
 FROM mins GROUP BY doc_id
+"""
+
+    seeds16 = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coeffs(16))
+    )
+    # q55: incremental near-dup — full banding replicated in SQL (16 hashes
+    # -> 4 bands of 4, band_hash = md5(string_agg ordered by i, chr(31))),
+    # candidates restricted to pairs whose b-side is a NEW doc, exact
+    # Jaccard verify on distinct unigram sets (the q22 shape)
+    o["q55_incremental_dups"] = f"""
+WITH sh AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_distinct({_WORDS}) AS shingles
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+), hx AS (
+  SELECT doc_id, {h0} AS h0 FROM ex WHERE s <> ''
+), seeds(i, a, b) AS (
+  VALUES {seeds16}
+), mins AS (
+  SELECT hx.doc_id, seeds.i,
+         min((seeds.a * hx.h0 + seeds.b) % {MINHASH_P}) AS mh
+  FROM hx CROSS JOIN seeds GROUP BY hx.doc_id, seeds.i
+), bands AS (
+  SELECT doc_id, band_idx,
+         md5(string_agg(CAST(mh AS VARCHAR), chr(31) ORDER BY i)) AS band_hash
+  FROM (SELECT doc_id, i, i // 4 AS band_idx, mh FROM mins)
+  GROUP BY doc_id, band_idx
+), cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id <> b.doc_id AND CAST(b.doc_id AS BIGINT) % 5 = 0
+)
+SELECT c.doc_a, c.doc_b,
+       round(len(list_intersect(x.shingles, y.shingles)) /
+             (len(x.shingles) + len(y.shingles)
+              - len(list_intersect(x.shingles, y.shingles))), 6) AS jaccard
+FROM cand c
+JOIN sh x ON x.doc_id = c.doc_a
+JOIN sh y ON y.doc_id = c.doc_b
+WHERE round(len(list_intersect(x.shingles, y.shingles)) /
+            (len(x.shingles) + len(y.shingles)
+             - len(list_intersect(x.shingles, y.shingles))), 6) >= 0.5
 """
 
     o["q20_simhash"] = _simhash_sql()

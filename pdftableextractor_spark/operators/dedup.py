@@ -18,6 +18,8 @@ Operators:
   ngram_jaccard_pairs    exact pairwise Jaccard within a blocking key
   connected_components   pair graph -> duplicate clusters (large-star/
                          small-star contraction, O(log n) shuffle rounds)
+  minhash_near_dups_incremental  new batch vs standing corpus via the
+                         persisted signature store (write/read_signature_store)
   embedding_near_dups    cosine near-dup pairs within a blocking key
 
 Scale notes (100 TB): every signature is computed scan-side with no shuffle;
@@ -189,9 +191,33 @@ def minhash_near_dups(
     verify → (doc_a, doc_b, jaccard). Only band-collision candidates are
     verified; the band join is the lone shuffle."""
     sigs = minhash_signatures(docs, text_col, n, num_hashes)
+    bands = band_rows_from_sigs(sigs, num_hashes, band_rows)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return verify_jaccard_pairs(cand, docs, text_col, n, threshold)
+
+
+def band_rows_from_sigs(
+    sigs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — slim band rows from a signature
+    table; never carries shingle arrays through the bucket join. Cheap JVM
+    expression work, so bands are recomputed from stored sigs rather than
+    persisted (num_hashes values per doc beat n_bands md5 strings)."""
     n_bands = num_hashes // band_rows
-    # slim band rows: never carry shingle arrays through the bucket join
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -210,20 +236,18 @@ def minhash_near_dups(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
-    )
-    cand = (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # exact-Jaccard verify, only for candidate docs: semi-join prunes the
-    # shingle-set aggregation to band-collision participants
+
+
+def verify_jaccard_pairs(
+    cand: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate (doc_a, doc_b) pairs — the
+    shingle-set aggregation is semi-join pruned to band-collision
+    participants, never the whole corpus."""
     ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -659,3 +683,81 @@ def connected_components(
         .groupBy("node")
         .agg(F.min("component").alias("component"))
     )
+
+
+def write_signature_store(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    n: int = 1,
+    num_hashes: int = NUM_HASHES,
+) -> None:
+    """Persist the corpus's MinHash signatures (doc_id, sig) through the
+    storage-format seam — the historical half of incremental dedup. Sigs
+    are num_hashes ints per doc; bands are recomputed from them (cheap JVM
+    md5s) rather than stored."""
+    from pdftableextractor_spark.sources.tables import write_table
+
+    write_table(minhash_signatures(docs, text_col, n, num_hashes), path)
+
+
+def read_signature_store(spark, path: str) -> DataFrame:
+    from pdftableextractor_spark.sources.tables import read_path
+
+    return read_path(spark, path)
+
+
+def minhash_near_dups_incremental(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    old_sigs: DataFrame | None = None,
+    text_col: str = "text",
+    n: int = 1,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch (new-vs-old + new-vs-new),
+    for the production cadence where increments arrive against a standing
+    corpus:
+
+    - With ``old_sigs`` from the signature store, the historical corpus is
+      never re-tokenized or re-signatured — per batch, signature work is
+      O(new batch), not O(corpus).
+    - The band join probes (old + new) bands with the NEW side only, so
+      old-old collisions never become candidates: candidate volume is
+      O(new-batch collisions), not O(corpus collisions).
+    - The exact-Jaccard verify touches old TEXT only for the (few) old docs
+      that band-collide with the batch (semi-join pruned, as always).
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b; new-new pairs
+    appear once. A standing pipeline then drops cluster losers among the
+    new docs (old docs always win — they are already in the corpus) and
+    appends the batch's signatures to the store.
+    """
+    if old_sigs is None:
+        old_sigs = minhash_signatures(old_docs, text_col, n, num_hashes)
+    sigs_new = minhash_signatures(new_docs, text_col, n, num_hashes)
+    bands_all = band_rows_from_sigs(
+        old_sigs.unionByName(sigs_new), num_hashes, band_rows
+    )
+    bands_new = band_rows_from_sigs(sigs_new, num_hashes, band_rows)
+    cand = (
+        bands_all.select(F.col("doc_id").alias("da"), "band_idx", "band_hash")
+        .join(
+            bands_new.select(
+                F.col("doc_id").alias("db"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+        .distinct()
+    )
+    corpus = old_docs.select("doc_id", text_col).unionByName(
+        new_docs.select("doc_id", text_col)
+    )
+    return verify_jaccard_pairs(cand, corpus, text_col, n, threshold)

@@ -762,3 +762,46 @@ def test_ivf_index_persist_and_partition_pruned_query(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters", 1)[1][:120]
+
+
+def test_incremental_dedup_with_signature_store(spark, tmp_path):
+    """A new batch deduped against a persisted signature store finds the
+    planted cross-batch and within-batch dups, never reports old-old pairs,
+    and agrees exactly with the recompute-everything path."""
+    from pdftableextractor_spark.operators.dedup import (
+        minhash_near_dups_incremental,
+        read_signature_store,
+        write_signature_store,
+    )
+
+    old_rows = [
+        ("o1", "alpha beta gamma delta epsilon zeta"),
+        ("o2", "one two three four five six seven"),
+        ("o3", "the quick brown fox jumps over dogs"),
+        # old-old dup pair — must NOT appear in the output
+        ("o4", "same old text here again folks"),
+        ("o5", "same old text here again folks"),
+    ]
+    new_rows = [
+        ("n1", "alpha beta gamma delta epsilon zeta"),   # dup of o1
+        ("n2", "completely fresh content nothing alike"),
+        ("n3", "completely fresh content nothing alike"),  # dup of n2
+    ]
+    old = spark.createDataFrame(old_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+    store = str(tmp_path / "sigs")
+    write_signature_store(old, store)
+    old_sigs = read_signature_store(spark, store)
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dups_incremental(new, old, old_sigs).collect()
+    )
+    assert got == [("n1", "o1"), ("n2", "n3")]
+
+    recompute = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dups_incremental(new, old).collect()
+    )
+    assert recompute == got
