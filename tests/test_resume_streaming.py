@@ -122,3 +122,54 @@ def test_streaming_matches_batch(spark, tmp_path):
     # first 20 docs, emitted once by each batch file)
     exp = _expected() + _expected(n=20)
     assert got == sorted(exp)
+
+
+def test_stream_dedup_ingest_two_batches(spark, tmp_path):
+    """Dedup-on-ingest: in-batch dups collapse keep-min, cross-batch dups
+    lose to the standing corpus (via the signature store — batch 2 never
+    re-signatures batch 1), and a drain with no new input changes nothing."""
+    from pdftableextractor_spark.streaming.ingest import stream_dedup_ingest
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(in_dir)
+
+    def drain():
+        stream_dedup_ingest(spark, in_dir, out, store, ckpt)
+
+    b1 = [
+        ("o1", "alpha beta gamma delta epsilon zeta"),
+        ("o2", "one two three four five six"),
+        ("o3", "alpha beta gamma delta epsilon zeta"),  # in-batch dup of o1
+    ]
+    import pandas as pd
+
+    pd.DataFrame(b1, columns=["doc_id", "text"]).to_parquet(f"{in_dir}/b1.parquet")
+    drain()
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    } == {"o1", "o2"}
+
+    b2 = [
+        ("p1", "alpha beta gamma delta epsilon zeta"),  # dup of standing o1
+        ("p2", "completely fresh content nothing alike"),
+        ("p3", "completely fresh content nothing alike"),  # in-batch dup
+    ]
+    pd.DataFrame(b2, columns=["doc_id", "text"]).to_parquet(f"{in_dir}/b2.parquet")
+    drain()
+    survivors = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert survivors == {"o1", "o2", "p2"}
+    # the store carries exactly the survivors' signatures
+    assert {
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    } == survivors
+
+    # no new input: a further drain is a no-op
+    drain()
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    } == {"o1", "o2", "p2"}
