@@ -97,6 +97,7 @@ from pdftableextractor_spark.operators.textstats import (
     redact_pii,
     repetition_stats,
     token_count,
+    corpus_length_stats,
 )
 from pdftableextractor_spark.types import US
 
@@ -544,6 +545,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # BM25 lexical relevance for a 3-term query; score rounded for the
     # cross-engine compare (double math is order-matched with the oracle)
+    # per-source corpus shape: exact interpolated percentiles
+    q["q56_corpus_stats"] = lambda s, d: corpus_length_stats(
+        _docs_str(s, d)
+    ).select("stratum", "n_docs", "mean_tokens", "p50_tokens", "p95_tokens")
+
     q["q53_bm25"] = lambda s, d: bm25_scores(
         _docs_str(s, d), ["scan", "spark", "table"]
     ).select("doc_id", F.round("score", 6).alias("bm25"))
@@ -1814,6 +1820,19 @@ FROM documents d JOIN fr ON fr.stratum = d.source
 WHERE CAST(CAST('0x' || substr(
           md5('samp:7:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS UBIGINT)
         % 1000000 AS DOUBLE) / 1000000 < frac
+"""
+
+    # q56: per-source exact percentiles — Spark percentile() and DuckDB
+    # quantile_cont() both use linear interpolation at p*(n-1)
+    o["q56_corpus_stats"] = f"""
+SELECT source AS stratum,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CAST(len({_WORDS}) AS BIGINT)), 6) AS mean_tokens,
+       round(quantile_cont(CAST(len({_WORDS}) AS BIGINT),
+                           CAST(0.5 AS DOUBLE)), 6) AS p50_tokens,
+       round(quantile_cont(CAST(len({_WORDS}) AS BIGINT),
+                           CAST(0.95 AS DOUBLE)), 6) AS p95_tokens
+FROM documents GROUP BY source
 """
 
     o["q26_token_count"] = f"""

@@ -302,3 +302,26 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def corpus_length_stats(
+    docs: DataFrame, stratum_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-stratum corpus shape summary: (stratum, n_docs, mean_tokens,
+    p50_tokens, p95_tokens) with EXACT interpolated percentiles.
+
+    Exact ``percentile`` sorts per group — fine because cardinality here is
+    per-STRATUM (each group's values fit an executor); for percentiles over
+    a column with huge groups use ``approx_percentile`` (t-digest, one pass,
+    mergeable) and accept the approximation — the oracle-able exact variant
+    is what the driver compares."""
+    toks = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        F.size(tokenize_col(F.col(text_col))).cast("bigint").alias("t"),
+    )
+    return toks.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("t"), 6).alias("mean_tokens"),
+        F.round(F.percentile("t", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile("t", F.lit(0.95)), 6).alias("p95_tokens"),
+    )
