@@ -3,19 +3,18 @@
 Query-time path for a handful of query terms — the common "find the docs
 about X in the corpus" analytics ask — NOT a full inverted-index build:
 
-- One explode of the token stream, with the ``w.isin(query_terms)``
-  predicate applied scan-side (Catalyst pushes it below the exchange), so
-  only query-term occurrences ever shuffle.
-- Per-document tf for each term via conditional aggregation in ONE
-  groupBy(doc) pass — no per-term joins; document length comes from the
-  same pass.
+- NO token explode and NO shuffle for term frequencies: tf(d, t) =
+  size(tokens) - size(array_remove(tokens, t)) — codegen array expressions,
+  so per-doc (dl, tf...) is a pure scan-side projection.
 - Corpus statistics (N, avgdl, per-term document frequency) are one
-  single-row aggregate, attached with a broadcast cross-join — fully lazy,
-  nothing is collected to the driver.
+  single-row aggregate over that projection, attached with a broadcast
+  cross-join — fully lazy, nothing is collected to the driver.
 
-At 100 TB the shuffled volume is O(matching term occurrences), the per-doc
-state is q+1 numbers (q = #query terms), and the stats row is q+2 numbers:
-scan-bound by construction.
+At 100 TB the whole query is two projection scans plus a one-row reduce:
+no Exchange carries more than q+2 numbers per partition. (An exploded
+groupBy formulation was measured and replaced — Catalyst did not reuse the
+doc_id exchange across the score and stats branches, so the corpus was
+scanned AND exploded twice.)
 """
 
 from __future__ import annotations
@@ -43,22 +42,30 @@ def bm25_scores(
         idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
         s(d, t) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
 
-    N counts ALL docs (dl > 0), avgdl averages ALL doc lengths — the corpus
-    statistics are unconditional; only the tf rows are term-filtered.
-    Term order in the score sum is the sorted term list (float addition is
+    N counts ALL docs with at least one token, avgdl averages ALL their
+    lengths — the corpus statistics are query-independent. Term order in
+    the score sum is the sorted term list (float addition is
     order-sensitive; the DuckDB oracle mirrors the same order).
     """
     terms = sorted(set(query_terms))
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokenize_col(F.col(text_col))).alias("w"),
-    ).filter(F.col("w") != "")
-    per_doc = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl"),
-        *[
-            F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf{i}")
-            for i, t in enumerate(terms)
-        ],
+    arr = tokenize_col(F.col(text_col))
+    # tf WITHOUT an explode or a shuffle: occurrences of t in the token
+    # array = size(arr) - size(array_remove(arr, t)) — codegen array ops,
+    # so per-doc (dl, tf...) is a pure scan-side projection. dl discounts
+    # the '' token an empty/whitespace-only text splits to; such docs are
+    # excluded entirely (dl = 0), matching the exploded formulation.
+    per_doc = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.array_remove(arr, "")).cast("bigint").alias("dl"),
+            *[
+                (F.size(arr) - F.size(F.array_remove(arr, t)))
+                .cast("bigint")
+                .alias(f"tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        .filter(F.col("dl") > 0)
     )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
