@@ -248,9 +248,10 @@ def verify_jaccard_pairs(
     """Exact-Jaccard verify of candidate (doc_a, doc_b) pairs — the
     shingle-set aggregation is semi-join pruned to band-collision
     participants, never the whole corpus."""
+    # one explode, not a two-sided union: a union would duplicate the whole
+    # candidate lineage (band join included) once per side
     ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()
     )
     sh = (
