@@ -198,6 +198,44 @@ def build_queries(spark, sf_dir: str, synth_path: str):
     }
 
 
+def host_calibration(threads: int = 16, seconds: float = 0.4) -> dict:
+    """Host-speed fingerprint embedded in the bench JSON so rounds can be
+    compared across host drift (this sandbox is a shared VM — measured 1.8x
+    same-code slowdown between rounds, BENCH/BASELINE.md round-3 A/B).
+    md5 over 1 MiB buffers releases the GIL, so the threaded number is a
+    genuine memory-bandwidth/SMT-contention probe, and calib_eff_16t is the
+    host's parallel efficiency at bench time."""
+    import hashlib
+    import threading
+
+    buf = b"x" * (1 << 20)
+
+    def mb_per_s(n_threads: int) -> float:
+        counts = [0] * n_threads
+        stop = time.time() + seconds
+
+        def work(i: int) -> None:
+            while time.time() < stop:
+                hashlib.md5(buf).digest()
+                counts[i] += 1
+
+        ts = [threading.Thread(target=work, args=(i,)) for i in range(n_threads)]
+        t0 = time.time()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        return sum(counts) / (time.time() - t0)
+
+    one = mb_per_s(1)
+    many = mb_per_s(threads)
+    return {
+        "calib_md5_mb_s_1t": round(one, 1),
+        f"calib_md5_mb_s_{threads}t": round(many, 1),
+        f"calib_eff_{threads}t": round(many / (one * threads), 3),
+    }
+
+
 def run_bench(sf_dir: str, cpus: str, n_synth: int) -> dict:
     from pdftableextractor_spark.session import build_session
 
@@ -227,6 +265,7 @@ def run_bench(sf_dir: str, cpus: str, n_synth: int) -> dict:
         "synth_docs": n_docs,
         "extract_docs_per_sec": round(n_docs / timings["extract_synth"], 2),
         "cpus": cpus,
+        **host_calibration(),
     }
     spark.stop()
     return result
