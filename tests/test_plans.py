@@ -162,3 +162,31 @@ def test_build_session_honors_master_and_sizes_shuffle(spark):
     pinned: an explicit master must never be silently replaced)."""
     assert spark.sparkContext.master == "local[4]"
     assert spark.conf.get("spark.sql.shuffle.partitions") == "16"
+
+
+def test_bm25_no_explode_two_exchanges(spark):
+    """BM25 must stay shuffle-free for tf: no Generate anywhere; the only
+    Exchanges are the one-row stats reduce and its broadcast."""
+    from pdftableextractor_spark.operators.ranking import bm25_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    phys = _plan(bm25_scores(docs, ["scan", "table"])).split(
+        "== Physical Plan =="
+    )[1]
+    assert "Generate" not in phys
+    assert phys.count("Exchange") <= 2
+
+
+def test_temperature_mix_broadcasts_fractions(spark):
+    """Per-stratum fractions (one row per stratum) must broadcast back to
+    the corpus — never a shuffle join on the stratum key."""
+    from pdftableextractor_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    phys = _plan(temperature_mix(docs)).split("== Physical Plan ==")[1]
+    assert "BroadcastHashJoin" in phys
+    assert "SortMergeJoin" not in phys
