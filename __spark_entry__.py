@@ -98,6 +98,7 @@ from pdftableextractor_spark.operators.textstats import (
     repetition_stats,
     token_count,
     corpus_length_stats,
+    vocab_topk,
 )
 from pdftableextractor_spark.types import US
 
@@ -546,6 +547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # BM25 lexical relevance for a 3-term query; score rounded for the
     # cross-engine compare (double math is order-matched with the oracle)
     # per-source corpus shape: exact interpolated percentiles
+    # vocabulary induction: top-100 terms, deterministic tiebreak
+    q["q57_vocab_topk"] = lambda s, d: vocab_topk(_docs_str(s, d), k=100)
+
     q["q56_corpus_stats"] = lambda s, d: corpus_length_stats(
         _docs_str(s, d)
     ).select("stratum", "n_docs", "mean_tokens", "p50_tokens", "p95_tokens")
@@ -1824,6 +1828,16 @@ WHERE CAST(CAST('0x' || substr(
 
     # q56: per-source exact percentiles — Spark percentile() and DuckDB
     # quantile_cont() both use linear interpolation at p*(n-1)
+    # q57: top-k vocabulary — same tokenizer, (n desc, term) order
+    o["q57_vocab_topk"] = f"""
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({_WORDS}) AS term FROM documents)
+WHERE term <> ''
+GROUP BY term
+ORDER BY n DESC, term ASC
+LIMIT 100
+"""
+
     o["q56_corpus_stats"] = f"""
 SELECT source AS stratum,
        CAST(count(*) AS BIGINT) AS n_docs,

@@ -325,3 +325,29 @@ def corpus_length_stats(
         F.round(F.percentile("t", F.lit(0.5)), 6).alias("p50_tokens"),
         F.round(F.percentile("t", F.lit(0.95)), 6).alias("p95_tokens"),
     )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary induction: the k most frequent whitespace tokens
+    with their counts — (term, n), ordered by (n desc, term) with a
+    deterministic tiebreak. The seed step for stopword lists, wordpiece
+    vocabularies, and drift monitoring.
+
+    Shape: explode -> two-level count aggregate (map-side partial combine
+    reduces the shuffle to one row per distinct term per partition) ->
+    TakeOrderedAndProject for the top-k (per-partition heaps; the full
+    vocabulary is never sorted or collected)."""
+    toks = docs.select(
+        F.explode(tokenize_col(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )
