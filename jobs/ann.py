@@ -1,0 +1,97 @@
+"""spark-submit entrypoint: ANN index lifecycle over an embeddings table.
+
+    # build once
+    spark-submit --py-files engine.zip jobs/ann.py build \
+        --input /root/testdata/sf0.1 --index /tmp/ivf --k 64
+
+    # query many
+    spark-submit --py-files engine.zip jobs/ann.py query \
+        --index /tmp/ivf --query-id 0 --topk 10 --nprobe 4
+
+build fits k-means (Arrow assignment + partial-sum centroid kernels) and
+persists centroids plus cell-partitioned vectors through the storage-format
+seam; query reads the index and scans only the probed cells' partitions
+(static partition pruning — see operators/similarity.py). Prints one JSON
+line per invocation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True, help="dir with embeddings.parquet")
+    b.add_argument("--index", required=True)
+    b.add_argument("--k", type=int, default=16)
+    b.add_argument("--iters", type=int, default=3)
+    b.add_argument("--master", default=None)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--input", required=True, help="dir with embeddings.parquet")
+    q.add_argument("--query-id", type=int, default=0)
+    q.add_argument("--topk", type=int, default=10)
+    q.add_argument("--nprobe", type=int, default=2)
+    q.add_argument("--master", default=None)
+
+    args = p.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from pdftableextractor_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from pdftableextractor_spark.session import build_session
+    from pdftableextractor_spark.sources.tables import read_path
+
+    spark = build_session(app_name=f"ann-{args.cmd}", master=args.master)
+    t0 = time.time()
+    emb = read_path(spark, f"{args.input}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+    if args.cmd == "build":
+        build_ivf_index(emb, args.index, k=args.k, iters=args.iters)
+        n = read_path(spark, f"{args.index}/vectors").count()
+        print(
+            json.dumps(
+                {
+                    "cmd": "build",
+                    "vectors": n,
+                    "k": args.k,
+                    "sec": round(time.time() - t0, 3),
+                }
+            )
+        )
+    else:
+        qvec = emb.filter(F.col("vec_id") == args.query_id).collect()[0][
+            "embedding"
+        ]
+        hits = ivf_topk_indexed(
+            spark, args.index, qvec, k=args.topk, nprobe=args.nprobe
+        ).collect()
+        print(
+            json.dumps(
+                {
+                    "cmd": "query",
+                    "query_id": args.query_id,
+                    "hits": [
+                        {"vec_id": r["vec_id"], "cos": r["cos"]} for r in hits
+                    ],
+                    "sec": round(time.time() - t0, 3),
+                }
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
