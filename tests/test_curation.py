@@ -805,3 +805,36 @@ def test_incremental_dedup_with_signature_store(spark, tmp_path):
         for r in minhash_near_dups_incremental(new, old).collect()
     )
     assert recompute == got
+
+
+def test_incremental_equals_batch_restricted(spark):
+    """minhash_near_dups_incremental(new, old) must equal the full batch
+    operator over old ∪ new restricted to pairs involving a new doc — same
+    bands, same verify, so EXACT equality (jaccard included)."""
+    from pdftableextractor_spark.operators.dedup import (
+        minhash_near_dups,
+        minhash_near_dups_incremental,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    is_new = F.col("doc_id").cast("bigint") % 4 == 0
+    new, old = docs.filter(is_new), docs.filter(~is_new)
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+
+    inc = sorted(
+        tuple(r)
+        for r in minhash_near_dups_incremental(
+            new, old, n=1, threshold=0.5
+        ).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in minhash_near_dups(docs, n=1, threshold=0.5).collect()
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    )
+    assert inc == full and len(inc) > 0
