@@ -838,3 +838,10 @@ def test_incremental_equals_batch_restricted(spark):
         if r["doc_a"] in new_ids or r["doc_b"] in new_ids
     )
     assert inc == full and len(inc) > 0
+
+
+def test_connected_components_empty_pairs(spark):
+    from pdftableextractor_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert connected_components(empty).count() == 0
