@@ -48,6 +48,7 @@ from pdftableextractor_spark.operators.dedup import (
     simhash_signatures,
 )
 from pdftableextractor_spark.operators.ranking import bm25_scores
+from pdftableextractor_spark.operators.temporal import asof_join
 from pdftableextractor_spark.operators.extract import (
     extract_frames,
     extract_spans,
@@ -548,6 +549,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cross-engine compare (double math is order-matched with the oracle)
     # per-source corpus shape: exact interpolated percentiles
     # vocabulary induction: top-100 terms, deterministic tiebreak
+    # as-of join (a primitive Spark lacks): each purchase enriched with the
+    # user's most recent click at-or-before it — union + last-ignorenulls
+    # window, one shuffle, no per-key loops
+    def q58(s, d):
+        ev = _t(s, d, "events")
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        right = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        )
+        j = asof_join(left, right, on="user_id", ts_col="ts", seq_col="click_id")
+        return j.select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.round("value", 6).alias("value"),
+            F.col("r_click_id").alias("click_id"),
+            F.unix_micros(F.col("r_ts").cast("timestamp")).alias("click_ts_us"),
+        )
+
+    q["q58_asof_join"] = q58
+
     q["q57_vocab_topk"] = lambda s, d: vocab_topk(_docs_str(s, d), k=100)
 
     q["q56_corpus_stats"] = lambda s, d: corpus_length_stats(
@@ -1829,6 +1853,17 @@ WHERE CAST(CAST('0x' || substr(
     # q56: per-source exact percentiles — Spark percentile() and DuckDB
     # quantile_cont() both use linear interpolation at p*(n-1)
     # q57: top-k vocabulary — same tokenizer, (n desc, term) order
+    # q58: as-of join — DuckDB's native ASOF LEFT JOIN is the oracle for
+    # the engine's union+window formulation (inclusive >= tie semantics)
+    o["q58_asof_join"] = """
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       round(l.value, 6) AS value,
+       r.event_id AS click_id, epoch_us(r.ts) AS click_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
     o["q57_vocab_topk"] = f"""
 SELECT term, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest({_WORDS}) AS term FROM documents)

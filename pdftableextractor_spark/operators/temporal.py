@@ -1,0 +1,81 @@
+"""Temporal joins Spark's DataFrame API lacks as primitives: as-of join.
+
+The classic "enrich each fact with the most recent dimension state at that
+moment" operator (trades→quotes, purchases→latest click, doc→latest model
+snapshot). Spark has no ASOF JOIN; the distributed formulation here is the
+union + last-ignorenulls-window shape:
+
+  1. tag right rows side=0, left rows side=1, union on (key, ts, side)
+  2. one window per key ordered by (ts, side, seq): last(right payload,
+     ignorenulls=True) up to the current row = the as-of match
+  3. keep side=1 rows
+
+One shuffle on the join key, no per-key Python, no range self-join blowup —
+each row is touched once, the window state is one struct. Equal timestamps
+match (side=0 sorts before side=1 at the same ts — DuckDB ASOF's inclusive
+``>=`` semantics); ties among right rows at an identical (key, ts) break
+deterministically on ``seq_col``, picking the LARGEST seq (it sorts last,
+and last() wins) — callers needing different tie policy pre-dedup the right
+side.
+
+Skew note (100 TB): the window partitions by the join key, so one
+pathologically hot key serializes into one task — the same boundary every
+windowed operator here has (see BENCH/BASELINE.md salting journal); as-of
+state is one struct, so memory stays O(1) per row regardless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    seq_col: str | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of LEFT join: every ``left`` row, enriched with the
+    ``right`` row of the same ``on`` key having the greatest ``ts_col`` <=
+    the left row's (nulls when no such row exists). Right payload columns
+    come back prefixed with ``right_prefix``."""
+    rcols = [c for c in right.columns if c != on]
+    lcols = left.columns
+    seq = F.col(seq_col) if seq_col else F.lit(0)
+
+    r = right.select(
+        F.col(on),
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        seq.alias("__seq"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in lcols if c != on],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(0).alias("__seq"),
+        F.lit(None)
+        .cast(r.schema["__payload"].dataType)
+        .alias("__payload"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols if c != on],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side", "__seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l.unionByName(r).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = matched.filter(F.col("__side") == 1).select(
+        F.col(on),
+        *[F.col(f"__l_{c}").alias(c) for c in lcols if c != on],
+        *[F.col("__match")[c].alias(f"{right_prefix}{c}") for c in rcols],
+    )
+    return out

@@ -845,3 +845,35 @@ def test_connected_components_empty_pairs(spark):
 
     empty = spark.createDataFrame([], "doc_a string, doc_b string")
     assert connected_components(empty).count() == 0
+
+
+def test_asof_join_edges(spark):
+    """Equal timestamps match (inclusive), pre-history rows get nulls,
+    same-(key,ts) right ties break to the largest seq, and the plan is one
+    key-shuffle window — no range self-join."""
+    from pdftableextractor_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, "L1"), ("u1", 50, "L0"), ("u1", 200, "L2"),
+         ("u2", 10, "M0")],
+        ["user_id", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, 7, "exact"), ("u1", 100, 9, "exact-later-seq"),
+         ("u1", 150, 1, "mid"), ("u3", 1, 2, "other-key")],
+        ["user_id", "ts", "seq", "label"],
+    )
+    out = {
+        r["tag"]: (r["r_label"], r["r_seq"])
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts", seq_col="seq"
+        ).collect()
+    }
+    assert out["L0"] == (None, None)          # nothing at-or-before ts=50
+    assert out["L1"] == ("exact-later-seq", 9)  # inclusive + max-seq tie
+    assert out["L2"] == ("mid", 1)            # latest at-or-before 200
+    assert out["M0"] == (None, None)          # key never matches u3
+
+    plan = asof_join(left, right, on="user_id", ts_col="ts")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1
