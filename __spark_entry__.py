@@ -48,7 +48,7 @@ from pdftableextractor_spark.operators.dedup import (
     simhash_signatures,
 )
 from pdftableextractor_spark.operators.ranking import bm25_scores
-from pdftableextractor_spark.operators.temporal import asof_join
+from pdftableextractor_spark.operators.temporal import asof_join, range_join
 from pdftableextractor_spark.operators.extract import (
     extract_frames,
     extract_spans,
@@ -571,6 +571,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q58_asof_join"] = q58
+
+    # bucketed range join (the other Spark-missing primitive): every
+    # purchase within the 1-hour window after an error by the same user.
+    # Buckets are internal — output equals the plain range predicate.
+    def q59(s, d):
+        ev = _t(s, d, "events")
+        HOUR = 3_600_000_000
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("p_ts_us"),
+        )
+        right = ev.filter(F.col("event_type") == "error").select(
+            "user_id",
+            F.col("event_id").alias("error_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("e_start_us"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) + HOUR).alias(
+                "e_end_us"
+            ),
+        )
+        return range_join(
+            left, right, "user_id", "p_ts_us", "e_start_us", "e_end_us",
+            bucket_width=HOUR,
+        ).select("user_id", "purchase_id", "p_ts_us", "error_id")
+
+    q["q59_range_join"] = q59
 
     q["q57_vocab_topk"] = lambda s, d: vocab_topk(_docs_str(s, d), k=100)
 
@@ -1855,6 +1881,18 @@ WHERE CAST(CAST('0x' || substr(
     # q57: top-k vocabulary — same tokenizer, (n desc, term) order
     # q58: as-of join — DuckDB's native ASOF LEFT JOIN is the oracle for
     # the engine's union+window formulation (inclusive >= tie semantics)
+    # q59: range join — plain range predicate is the oracle for the
+    # engine's bucketed equi-join formulation
+    o["q59_range_join"] = """
+SELECT l.user_id, l.event_id AS purchase_id, epoch_us(l.ts) AS p_ts_us,
+       r.event_id AS error_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id
+ AND epoch_us(l.ts) >= epoch_us(r.ts)
+ AND epoch_us(l.ts) <= epoch_us(r.ts) + 3600000000
+"""
+
     o["q58_asof_join"] = """
 SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
        round(l.value, 6) AS value,

@@ -79,3 +79,51 @@ def asof_join(
         *[F.col("__match")[c].alias(f"{right_prefix}{c}") for c in rcols],
     )
     return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Point-in-interval range join: all (left, right) pairs of the same
+    ``on`` key with ``start_col <= point_col <= end_col`` (numeric columns,
+    e.g. epoch micros).
+
+    Spark executes a raw non-equi theta join as a per-key nested loop; the
+    scalable OSS formulation buckets time: the left point lands in ONE
+    bucket (floor(point/W)); each right interval explodes over every bucket
+    it covers; the join becomes an EQUI join on (key, bucket) plus an exact
+    containment filter. No duplicates by construction — a qualifying pair
+    meets in exactly the point's bucket. ``bucket_width`` trades right-side
+    explosion (×(span/W + 1) rows) against join selectivity: pick W around
+    the typical interval span so the explosion factor stays ~2 while a
+    bucket holds only near-in-time rows.
+
+    Output: all left columns + all right columns except ``on`` (callers
+    pre-alias collisions)."""
+    lb = left.withColumn(
+        "__bucket", F.floor(F.col(point_col) / F.lit(bucket_width))
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_width)),
+                F.floor(F.col(end_col) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    rcols = [c for c in right.columns if c != on]
+    return (
+        lb.join(rb.select(on, "__bucket", *rcols), [on, "__bucket"])
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("__bucket")
+    )

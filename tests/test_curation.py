@@ -877,3 +877,39 @@ def test_asof_join_edges(spark):
     plan = asof_join(left, right, on="user_id", ts_col="ts")._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_range_join_buckets_and_boundaries(spark):
+    """Intervals spanning many buckets still match exactly once; both
+    boundaries are inclusive; the physical join is an EQUI join on
+    (key, bucket) — never a nested-loop theta join."""
+    from pdftableextractor_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [("u", 0, "at-start"), ("u", 250, "inside-far-bucket"),
+         ("u", 300, "at-end"), ("u", 301, "after-end"),
+         ("u", 95, "multi-match"), ("v", 50, "wrong-key")],
+        ["user_id", "p", "tag"],
+    )
+    right = spark.createDataFrame(
+        [("u", 0, 300, "wide"), ("u", 90, 100, "narrow")],
+        ["user_id", "s", "e", "label"],
+    )
+    out = sorted(
+        (r["tag"], r["label"])
+        for r in range_join(
+            left, right, "user_id", "p", "s", "e", bucket_width=10
+        ).collect()
+    )
+    assert out == [
+        ("at-end", "wide"),
+        ("at-start", "wide"),
+        ("inside-far-bucket", "wide"),
+        ("multi-match", "narrow"),
+        ("multi-match", "wide"),
+    ]
+
+    plan = range_join(
+        left, right, "user_id", "p", "s", "e", bucket_width=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
