@@ -76,6 +76,7 @@ from pdftableextractor_spark.operators.sampling import (
     pack_shards,
     stratified_sample,
     temperature_mix,
+    weighted_sample,
 )
 from pdftableextractor_spark.operators.multimodal import (
     extract_features,
@@ -473,6 +474,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # temperature-alpha mixture sampling (p_s ~ n_s^alpha): fractions
     # computed distributed, broadcast back, deterministic hash keep-rule
+    # Efraimidis-Spirakis weighted sample: 25 docs per source, weight =
+    # document length (longer docs proportionally likelier)
+    q["q60_weighted_sample"] = lambda s, d: weighted_sample(
+        _docs_str(s, d), "n_chars", k=25, stratum_col="source"
+    ).select("doc_id", "source")
+
     q["q54_temperature_mix"] = lambda s, d: temperature_mix(
         _docs_str(s, d), alpha=0.5, budget_frac=0.5
     ).select("doc_id", "source")
@@ -1853,6 +1860,26 @@ WINDOW w AS (PARTITION BY source ORDER BY doc_id
 
     # q54: temperature mixing — per-source n^alpha fractions (float
     # expression order matched with the engine), q50's hash keep-rule
+    # q60: weighted sample — same md5 uniform, key = pow(u, 1/w),
+    # row_number per source over (key desc, doc_id)
+    o["q60_weighted_sample"] = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY pow(
+             CAST(CAST('0x' || substr(
+                 md5('samp:7:' || doc_id), 1, 15) AS UBIGINT)
+               % 1000000 AS DOUBLE) / 1000000,
+             CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE)) DESC,
+           doc_id ASC) AS rk
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, n_chars
+        FROM documents)
+  WHERE n_chars > 0
+)
+WHERE rk <= 25
+"""
+
     o["q54_temperature_mix"] = """
 WITH per AS (
   SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs

@@ -151,3 +151,36 @@ def temperature_mix(
         .filter(_uniform_col(id_col, seed) < F.col("frac"))
         .drop("frac")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows (per stratum if
+    ``stratum_col`` given): Efraimidis-Spirakis keys — each row gets
+    key = u^(1/w) with u its deterministic per-id uniform, and the top-k
+    keys are exactly a w-weighted sample without replacement.
+
+    One projection + one row_number window per stratum: no iterative
+    draw-and-remove, no collect, reproducible across runs/partitionings
+    (same u as stratified_sample). Rows with non-positive weight are never
+    sampled (key forced to -1). Ties (u^0-style degenerate keys) break on
+    id for determinism."""
+    w = F.col(weight_col).cast("double")
+    u = _uniform_col(id_col, seed)
+    key = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(-1.0))
+    part = [stratum_col] if stratum_col else []
+    win = Window.partitionBy(*part).orderBy(
+        F.desc("__wkey"), F.asc(id_col)
+    )
+    return (
+        docs.withColumn("__wkey", key)
+        .withColumn("__wrank", F.row_number().over(win))
+        .filter((F.col("__wrank") <= k) & (F.col("__wkey") >= 0))
+        .drop("__wkey", "__wrank")
+    )

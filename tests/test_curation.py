@@ -913,3 +913,31 @@ def test_range_join_buckets_and_boundaries(spark):
         left, right, "user_id", "p", "s", "e", bucket_width=10
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_bias_and_bounds(spark):
+    """A dominant weight wins nearly always across seeds; k >= group size
+    returns every positive-weight row; zero/negative weights are never
+    sampled; output is deterministic per seed."""
+    from pdftableextractor_spark.operators.sampling import weighted_sample
+
+    rows = [("heavy", 10_000)] + [(f"w{i:02d}", 1) for i in range(20)] + [
+        ("zero", 0)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "wt"])
+
+    wins = sum(
+        weighted_sample(docs, "wt", k=1, seed=s).collect()[0]["doc_id"]
+        == "heavy"
+        for s in range(10)
+    )
+    assert wins >= 8, f"dominant weight won only {wins}/10 seeds"
+
+    everything = {
+        r["doc_id"] for r in weighted_sample(docs, "wt", k=100).collect()
+    }
+    assert everything == {d for d, w in rows if w > 0}
+
+    a = sorted(r["doc_id"] for r in weighted_sample(docs, "wt", k=5, seed=3).collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(docs, "wt", k=5, seed=3).collect())
+    assert a == b
