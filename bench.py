@@ -243,6 +243,7 @@ def run_bench(sf_dir: str, cpus: str, n_synth: int) -> dict:
     spark = build_session(
         app_name="bench", master=f"local[{cpus}]"
     )
+    cal_pre = host_calibration()
     queries = build_queries(spark, sf_dir, synth_path)
     # warm-up: JVM/codegen/python-worker spin-up on a tiny slice so the
     # timed numbers measure the engine, not JIT
@@ -265,6 +266,9 @@ def run_bench(sf_dir: str, cpus: str, n_synth: int) -> dict:
         "synth_docs": n_docs,
         "extract_docs_per_sec": round(n_docs / timings["extract_synth"], 2),
         "cpus": cpus,
+        # probe at BOTH ends: co-tenant bursts move on ~minute timescales,
+        # so a single end-point sample can miss a burst that ate the run
+        **{f"pre_{k}": v for k, v in cal_pre.items()},
         **host_calibration(),
     }
     spark.stop()
