@@ -1632,14 +1632,14 @@ bands AS (
   FROM bands a JOIN bands b
     ON a.t = b.t AND a.band = b.band AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 30
 """
 
     o["q21_simhash_pairs"] = f"""
 WITH sim AS ({_simhash_sql()})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sim a JOIN sim b
   ON (a.simhash >> 48) = (b.simhash >> 48) AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 30
@@ -2198,7 +2198,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
     o["q40_resize_plumbing"] = f"""
 SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
        LIST_VALUE('image', 'audio', 'video')[({_DOC_H} % 3) + 1] AS kind,
-       640 AS width, 480 AS height,
+       CAST(640 AS BIGINT) AS width, CAST(480 AS BIGINT) AS height,
        sha256(text || '640x480') AS resized_sha
 FROM documents
 """
