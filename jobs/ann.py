@@ -6,7 +6,11 @@
 
     # query many
     spark-submit --py-files engine.zip jobs/ann.py query \
-        --index /tmp/ivf --query-id 0 --topk 10 --nprobe 4
+        --input /root/testdata/sf0.1 --index /tmp/ivf \
+        --query-id 0 --topk 10 --nprobe 4
+
+(query needs --input too: the query VECTOR is fetched from the embeddings
+table by --query-id; only the candidate scan is served from the index.)
 
 build fits k-means (Arrow assignment + partial-sum centroid kernels) and
 persists centroids plus cell-partitioned vectors through the storage-format

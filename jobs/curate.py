@@ -179,12 +179,17 @@ def main() -> None:
             scrubbed, fracs, default_fraction=1.0
         ).localCheckpoint()
         n6 = scrubbed.count()
+    n6t = None
     if args.temp_mix:
         alpha, budget = (float(x) for x in args.temp_mix.split(":"))
+        # a DIFFERENT seed than the --mix stage: both samplers filter on a
+        # per-id hash uniform, and with the same seed the second stage
+        # would be fully correlated with the first (composed keep rate
+        # min(f1, f2) instead of f1*f2 — the token budget silently doubles)
         scrubbed = temperature_mix(
-            scrubbed, alpha=alpha, budget_frac=budget
+            scrubbed, alpha=alpha, budget_frac=budget, seed=13
         ).localCheckpoint()
-        n6 = scrubbed.count()
+        n6t = scrubbed.count()
 
     annotated = (
         scrubbed.join(token_count(scrubbed.select("doc_id", "text")), "doc_id")
@@ -215,6 +220,8 @@ def main() -> None:
         summary["after_decontaminate"] = n5
     if n6 is not None:
         summary["after_mix"] = n6
+    if n6t is not None:
+        summary["after_temp_mix"] = n6t
     print(json.dumps(summary))
     spark.stop()
 

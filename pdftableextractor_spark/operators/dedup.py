@@ -717,6 +717,7 @@ def minhash_near_dups_incremental(
     threshold: float = 0.5,
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING the new batch (new-vs-old + new-vs-new),
     for the production cadence where increments arrive against a standing
@@ -738,7 +739,13 @@ def minhash_near_dups_incremental(
     """
     if old_sigs is None:
         old_sigs = minhash_signatures(old_docs, text_col, n, num_hashes)
-    sigs_new = minhash_signatures(new_docs, text_col, n, num_hashes)
+    # callers that also persist the batch's signatures pass them in
+    # (pre-materialized) so the batch is tokenized+signatured exactly once
+    sigs_new = (
+        new_sigs
+        if new_sigs is not None
+        else minhash_signatures(new_docs, text_col, n, num_hashes)
+    )
     bands_all = band_rows_from_sigs(
         old_sigs.unionByName(sigs_new), num_hashes, band_rows
     )

@@ -122,6 +122,8 @@ def sample_frames(assets: DataFrame, every_ms: int = 5000) -> DataFrame:
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# decode allocation cap: 64 MiB of raw scanlines (~16 MP RGBA)
+PNG_AREA_MAX = 1 << 26
 
 
 def decode_png(payload: bytes) -> np.ndarray:
@@ -157,9 +159,20 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"(depth={depth}, color type={ctype}, interlace={interlace})"
         )
     ch = {0: 1, 2: 3, 6: 4}[ctype]
-    raw = zlib.decompress(b"".join(idat))
     stride = w * ch
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # hostile-input bound (the GRID_AREA_MAX rule's image analog): IHDR
+    # dimensions are attacker-controlled, so cap the allocation BEFORE
+    # inflating, and inflate with an output ceiling so a deflate bomb in
+    # IDAT can never materialize more than expected+1 bytes
+    if expected > PNG_AREA_MAX:
+        raise ValueError(
+            f"PNG dimensions {w}x{h}x{ch} exceed the decode bound "
+            f"({expected} > {PNG_AREA_MAX} bytes)"
+        )
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected or d.decompress(b"", 1):
         raise ValueError("IDAT size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)

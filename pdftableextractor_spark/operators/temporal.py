@@ -46,6 +46,12 @@ def asof_join(
     lcols = left.columns
     seq = F.col(seq_col) if seq_col else F.lit(0)
 
+    # null-ts right rows would sort nulls-first and become the "most
+    # recent" match for pre-history left rows; the as-of predicate
+    # (l.ts >= r.ts) is never true for a null ts, so drop them (DuckDB
+    # ASOF semantics). Null-ts LEFT rows keep flowing and get no match:
+    # after this filter nothing sorts before them.
+    right = right.filter(F.col(ts_col).isNotNull())
     r = right.select(
         F.col(on),
         F.col(ts_col).alias("__ts"),

@@ -82,6 +82,11 @@ def stream_dedup_ingest(
         if batch_df.isEmpty():
             return
         batch = batch_df.select("doc_id", text_col).localCheckpoint()
+        # signature the batch ONCE: the pair search and the store write
+        # share this materialized frame (the per-batch dominant cost)
+        batch_sigs = minhash_signatures(
+            batch, text_col, n, num_hashes
+        ).localCheckpoint()
         not_self = F.col("batch_id") != batch_id
         old_sigs = (
             _read_or_empty(spark, store_dir, SIG_SCHEMA + ", batch_id long")
@@ -104,6 +109,7 @@ def stream_dedup_ingest(
             threshold=threshold,
             num_hashes=num_hashes,
             band_rows=band_rows,
+            new_sigs=batch_sigs,
         )
         cc = connected_components(pairs)
         has_old = (
@@ -134,9 +140,9 @@ def stream_dedup_ingest(
             partitionOverwriteMode="dynamic",
         )
         write_table(
-            minhash_signatures(survivors, text_col, n, num_hashes).select(
-                "doc_id", "sig", stamp
-            ),
+            batch_sigs.join(
+                survivors.select("doc_id"), "doc_id", "left_semi"
+            ).select("doc_id", "sig", stamp),
             store_dir,
             mode="overwrite",
             partition_by=["batch_id"],

@@ -941,3 +941,76 @@ def test_weighted_sample_bias_and_bounds(spark):
     a = sorted(r["doc_id"] for r in weighted_sample(docs, "wt", k=5, seed=3).collect())
     b = sorted(r["doc_id"] for r in weighted_sample(docs, "wt", k=5, seed=3).collect())
     assert a == b
+
+
+def test_sampling_stages_compose_independently(spark):
+    """Two hash samplers with DIFFERENT seeds thin multiplicatively
+    (~f1*f2); with the SAME seed they are fully correlated (~min(f1,f2)) —
+    the curate funnel must use distinct seeds per stage (seed-correlation
+    regression test)."""
+    from pdftableextractor_spark.operators.sampling import (
+        stratified_sample,
+        temperature_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"{i:05d}", "s") for i in range(4000)], ["doc_id", "source"]
+    )
+    stage1 = stratified_sample(docs, {"s": 0.5}, seed=7)
+    n1 = stage1.count()
+    correlated = temperature_mix(stage1, alpha=1.0, budget_frac=0.5, seed=7).count()
+    independent = temperature_mix(stage1, alpha=1.0, budget_frac=0.5, seed=13).count()
+    # alpha=1 keeps exactly budget_frac of each stratum's hash range
+    assert correlated == n1  # same seed: second stage removes nothing
+    assert abs(independent - n1 / 2) < n1 * 0.1  # distinct seed: ~halves
+
+
+def test_asof_join_ignores_null_ts_rights(spark):
+    """A right row with NULL ts must never match (DuckDB ASOF: l.ts >= NULL
+    is never true) — regression for nulls-first window ordering."""
+    from pdftableextractor_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([("u", 5, "L")], ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [("u", None, "phantom"), ("u", 9, "future")],
+        "k string, ts int, label string",
+    )
+    rows = asof_join(left, right, on="k", ts_col="ts").collect()
+    assert rows[0]["r_label"] is None
+
+
+def test_decode_png_bounds_hostile_headers(spark):
+    """A hostile IHDR (100k x 100k) or a deflate bomb must raise ValueError
+    BEFORE allocating/inflating gigabytes — the image analog of the
+    GRID_AREA_MAX rule."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from pdftableextractor_spark.operators.multimodal import decode_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    huge_ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    hostile = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", huge_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="exceed the decode bound"):
+        decode_png(hostile)
+
+    # deflate bomb: tiny compressed stream, oversized expansion vs IHDR
+    small_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", small_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="IDAT size mismatch"):
+        decode_png(bomb)
