@@ -33,6 +33,7 @@ from pdftableextractor_spark.functions.strings import (
     normalize_text_sql,
 )
 from pdftableextractor_spark.operators.dedup import (
+    tokenize_col,
     MINHASH_P,
     connected_components,
     embedding_near_dups,
@@ -488,7 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs_str(s, d).select(
             "doc_id",
             "source",
-            F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+            F.size(tokenize_col(F.col("text")))
             .cast("bigint")
             .alias("n_tokens"),
         ),

@@ -76,9 +76,12 @@ def main() -> None:
             )
         )
     else:
-        qvec = emb.filter(F.col("vec_id") == args.query_id).collect()[0][
-            "embedding"
-        ]
+        qrows = emb.filter(F.col("vec_id") == args.query_id).collect()
+        if not qrows:
+            raise SystemExit(
+                f"query id {args.query_id} not found in {args.input}/embeddings.parquet"
+            )
+        qvec = qrows[0]["embedding"]
         hits = ivf_topk_indexed(
             spark, args.index, qvec, k=args.topk, nprobe=args.nprobe
         ).collect()

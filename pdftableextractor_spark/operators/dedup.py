@@ -217,6 +217,23 @@ def band_rows_from_sigs(
     expression work, so bands are recomputed from stored sigs rather than
     persisted (num_hashes values per doc beat n_bands md5 strings)."""
     n_bands = num_hashes // band_rows
+    # guard against caller/store drift on num_hashes: out-of-range sig
+    # indices read null, concat_ws silently SKIPS nulls, and every doc
+    # would share the constant md5('') band hash — an O(n x m) candidate
+    # explosion with no error. The raise lives inside the filter predicate
+    # so Catalyst cannot prune it.
+    sigs = sigs.filter(
+        F.when(F.size("sig") == num_hashes, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"signature length mismatch: expected {num_hashes}, got "
+                    ),
+                    F.size("sig").cast("string"),
+                )
+            )
+        )
+    )
     return sigs.select(
         "doc_id",
         F.posexplode(
@@ -746,6 +763,14 @@ def minhash_near_dups_incremental(
         if new_sigs is not None
         else minhash_signatures(new_docs, text_col, n, num_hashes)
     )
+    # a doc_id re-sent in the batch REPLACES its standing entry: without
+    # this anti-join the union corpus would merge the old and new shingle
+    # sets under one doc_id (collect_set over both versions), corrupting
+    # every jaccard involving that doc, while the old-vs-new self pair is
+    # invisible (da != db never fires for equal ids)
+    new_ids = new_docs.select("doc_id")
+    old_sigs = old_sigs.join(new_ids, "doc_id", "left_anti")
+    old_docs = old_docs.join(new_ids, "doc_id", "left_anti")
     bands_all = band_rows_from_sigs(
         old_sigs.unionByName(sigs_new), num_hashes, band_rows
     )

@@ -255,9 +255,18 @@ def decode_stub(payload: bytes, kind: str) -> np.ndarray:
 
 def _decode_one(payload: bytes, kind: str) -> np.ndarray:
     """Image PNGs decode to GENUINE pixels (decode_png) and featurize from
-    them; everything else keeps the deterministic stub."""
+    them; everything else keeps the deterministic stub. A payload that LOOKS
+    like a PNG but is unsupported (16-bit, palette, interlaced), truncated,
+    or hostile (oversized header, deflate bomb) degrades to the stub instead
+    of crashing the task — one bad row must never kill a corpus-wide
+    featurize job (the drop/degrade convention: GRID_AREA_MAX, PNG_AREA_MAX)."""
     if kind == "image" and payload[:8] == PNG_SIG:
-        return image_features(decode_png(payload))
+        try:
+            return image_features(decode_png(payload))
+        except Exception:
+            # any malformed byte stream (struct/zlib/bounds/ValueError/
+            # NotImplementedError) — degrade, never crash the task
+            return decode_stub(payload, kind)
     return decode_stub(payload, kind)
 
 

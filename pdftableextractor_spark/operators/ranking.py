@@ -48,6 +48,8 @@ def bm25_scores(
     order-sensitive; the DuckDB oracle mirrors the same order).
     """
     terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
     arr = tokenize_col(F.col(text_col))
     # tf WITHOUT an explode or a shuffle: occurrences of t in the token
     # array = size(arr) - size(array_remove(arr, t)) — codegen array ops,

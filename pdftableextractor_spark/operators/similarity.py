@@ -279,18 +279,35 @@ def build_ivf_index(
 
     cents = kmeans_centroids(embeddings, k=k, iters=iters, id_col=id_col, seed=seed)
     spark = embeddings.sparkSession
+    # consistency stamp: a rebuild that dies between the two writes would
+    # otherwise leave new centroids next to the previous run's vectors and
+    # the query path would silently probe a mismatched index. The stamp is
+    # deterministic (params + a data fingerprint — no wall clock), so an
+    # idempotent re-run of the SAME build converges to a consistent pair.
+    fp = embeddings.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.expr(f"bit_xor(xxhash64(cast({id_col} as string)))"), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    build_id = f"k{k}-i{iters}-s{seed}-n{fp['n']}-x{fp['h']:x}"
     cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
+        [(i, c, build_id) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>, build_id string",
     )
-    write_table(cdf, f"{path}/centroids")
     from pdftableextractor_spark.kernels.vectors import nearest_centroid_udf
 
     assigned = embeddings.select(
         F.col(id_col).alias("vec_id"),
         "embedding",
         nearest_centroid_udf(cents)(F.col("embedding")).alias("cell"),
+        F.lit(build_id).alias("build_id"),
     )
+    # vectors FIRST, centroids LAST: the query path reads centroids and
+    # validates the stamp against the vectors table, so a torn build is
+    # detected rather than silently probed
     write_table(assigned, f"{path}/vectors", partition_by=["cell"])
+    write_table(cdf, f"{path}/centroids")
 
 
 def ivf_topk_indexed(
@@ -311,6 +328,14 @@ def ivf_topk_indexed(
 
     cos = cosine_to_query_udf(query_vec)
     cents = read_path(spark, f"{path}/centroids")
+    vecs_all = read_path(spark, f"{path}/vectors")
+    cb = {r["build_id"] for r in cents.select("build_id").distinct().collect()}
+    vb = {r["build_id"] for r in vecs_all.select("build_id").distinct().collect()}
+    if cb != vb or len(cb) != 1:
+        raise ValueError(
+            f"IVF index at {path} is inconsistent (torn rebuild?): "
+            f"centroids build {sorted(cb)} vs vectors build {sorted(vb)}"
+        )
     probes = [
         int(r["cell"])
         for r in cents.select(
@@ -320,7 +345,7 @@ def ivf_topk_indexed(
         .limit(nprobe)
         .collect()
     ]
-    vecs = read_path(spark, f"{path}/vectors").filter(F.col("cell").isin(probes))
+    vecs = vecs_all.filter(F.col("cell").isin(probes))
     return (
         vecs.select("vec_id", F.round(cos(F.col("embedding")), 6).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))

@@ -1014,3 +1014,49 @@ def test_decode_png_bounds_hostile_headers(spark):
     )
     with _pytest.raises(ValueError, match="IDAT size mismatch"):
         decode_png(bomb)
+
+
+def test_ivf_index_detects_torn_rebuild(spark, tmp_path):
+    """Centroids from one build next to vectors from another must raise,
+    not silently probe a mismatched index."""
+    import pytest as _pytest
+
+    from pdftableextractor_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, k=4, iters=1)
+    # simulate a torn rebuild: re-write ONLY the centroids with different k
+    from pdftableextractor_spark.operators.similarity import kmeans_centroids
+    from pdftableextractor_spark.sources.tables import write_table
+
+    cents = kmeans_centroids(emb, k=8, iters=1)
+    write_table(
+        spark.createDataFrame(
+            [(i, c, "other-build") for i, c in enumerate(cents)],
+            "cell int, centroid array<double>, build_id string",
+        ),
+        f"{idx}/centroids",
+    )
+    with _pytest.raises(ValueError, match="inconsistent"):
+        ivf_topk_indexed(spark, idx, q, k=5, nprobe=2)
+
+
+def test_band_rows_rejects_sig_length_mismatch(spark):
+    """Signature arrays shorter than num_hashes must raise — out-of-range
+    indices would otherwise give every doc the same md5('') band hash."""
+    import pytest as _pytest
+
+    from pdftableextractor_spark.operators.dedup import band_rows_from_sigs
+
+    sigs = spark.createDataFrame(
+        [("d1", [1, 2, 3, 4])], "doc_id string, sig array<bigint>"
+    )
+    with _pytest.raises(Exception, match="signature length mismatch"):
+        band_rows_from_sigs(sigs, num_hashes=64, band_rows=4).collect()
