@@ -63,6 +63,7 @@ def pack_shards(
     group_col: str = "source",
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Assign each document a (group, shard_idx) so that every shard's token
     sum stays ≤ ``budget_tokens`` + one document (the standard greedy
@@ -70,18 +71,59 @@ def pack_shards(
     the group's id order — a document straddling the boundary starts in the
     shard its first token lands in).
 
-    The window partitions by ``group_col``: cumulative sums stay distributed
-    (one partition per group), and shard ids are stable under any physical
-    partitioning. Output adds shard_idx int."""
-    w = (
+    The cumulative sum is a TWO-LEVEL distributed prefix sum, never one
+    partition per group (a corpus with a handful of sources would otherwise
+    pack each source through a single task):
+
+      1. range-partition on (group, id) into ``num_buckets`` order-preserving
+         buckets (``__bkt`` = spark_partition_id — ascending bucket id ==
+         ascending (group, id), and a bucket never splits equal keys);
+      2. per-(group, bucket) token totals — a |groups| × buckets frame, tiny
+         at any corpus scale — then an EXCLUSIVE cumsum over bucket order
+         gives each bucket's starting offset;
+      3. broadcast-join the offsets back and finish with a LOCAL windowed
+         cumsum inside each (group, bucket) + the bucket offset.
+
+    shard ids depend only on cumulative token sums in id order, so the
+    output is invariant to the physical bucketing. The bucketed lineage is
+    evaluated once per branch (totals + main); that is safe because the
+    range boundaries are deterministic for identical input (seeded sketch
+    sampling) and the explicit ``num_buckets`` keeps AQE from re-coalescing
+    either branch differently. Costs one extra exchange vs the
+    serial-per-group window — the price of intra-group parallelism.
+    Output adds shard_idx int."""
+    b = num_buckets or docs.sparkSession.sparkContext.defaultParallelism
+    bucketed = docs.repartitionByRange(
+        b, F.col(group_col), F.col(id_col)
+    ).withColumn("__bkt", F.spark_partition_id())
+    totals = bucketed.groupBy(group_col, "__bkt").agg(
+        F.sum(F.col(tokens_col).cast("bigint")).alias("__tot")
+    )
+    w_off = (
         Window.partitionBy(group_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        group_col,
+        "__bkt",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_loc = (
+        Window.partitionBy(group_col, "__bkt")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(F.col(tokens_col).cast("bigint")).over(w)
-    return docs.withColumn(
-        "shard_idx",
-        F.floor((cum - F.col(tokens_col)) / F.lit(budget_tokens)).cast("int"),
+    cum = F.sum(F.col(tokens_col).cast("bigint")).over(w_loc) + F.col("__off")
+    return (
+        bucketed.join(F.broadcast(offsets), [group_col, "__bkt"])
+        .withColumn(
+            "shard_idx",
+            F.floor((cum - F.col(tokens_col)) / F.lit(budget_tokens)).cast(
+                "int"
+            ),
+        )
+        .drop("__bkt", "__off")
     )
 
 
@@ -166,21 +208,32 @@ def weighted_sample(
     key = u^(1/w) with u its deterministic per-id uniform, and the top-k
     keys are exactly a w-weighted sample without replacement.
 
-    One projection + one row_number window per stratum: no iterative
-    draw-and-remove, no collect, reproducible across runs/partitionings
-    (same u as stratified_sample). Rows with non-positive weight are never
-    sampled (key forced to -1). Ties (u^0-style degenerate keys) break on
-    id for determinism."""
+    Per stratum: one projection + one row_number window. Global (no
+    stratum): orderBy + limit, which Spark plans as TakeOrderedAndProject —
+    per-partition size-k heaps merged on the driver — NEVER an empty
+    partitionBy() window, which would serialize the whole corpus through a
+    single task's row_number. No iterative draw-and-remove, no collect,
+    reproducible across runs/partitionings (same u as stratified_sample).
+    Rows with non-positive weight are never sampled. Ties (u^0-style
+    degenerate keys) break on id for determinism."""
     w = F.col(weight_col).cast("double")
     u = _uniform_col(id_col, seed)
     key = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(-1.0))
-    part = [stratum_col] if stratum_col else []
-    win = Window.partitionBy(*part).orderBy(
+    # non-positive-weight rows are dropped BEFORE ranking: with desc order
+    # every kept key (>= 0) outranks the -1 sentinel, so pre-filtering is
+    # rank-equivalent to the filter-after-rank formulation and cheaper
+    keyed = docs.withColumn("__wkey", key).filter(F.col("__wkey") >= 0)
+    if stratum_col is None:
+        return (
+            keyed.orderBy(F.desc("__wkey"), F.asc(id_col))
+            .limit(k)
+            .drop("__wkey")
+        )
+    win = Window.partitionBy(stratum_col).orderBy(
         F.desc("__wkey"), F.asc(id_col)
     )
     return (
-        docs.withColumn("__wkey", key)
-        .withColumn("__wrank", F.row_number().over(win))
-        .filter((F.col("__wrank") <= k) & (F.col("__wkey") >= 0))
+        keyed.withColumn("__wrank", F.row_number().over(win))
+        .filter(F.col("__wrank") <= k)
         .drop("__wkey", "__wrank")
     )

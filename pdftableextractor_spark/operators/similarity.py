@@ -284,10 +284,18 @@ def build_ivf_index(
     # the query path would silently probe a mismatched index. The stamp is
     # deterministic (params + a data fingerprint — no wall clock), so an
     # idempotent re-run of the SAME build converges to a consistent pair.
+    # the fingerprint folds in the embedding CONTENT, not just the ids: a
+    # rebuild over re-embedded vectors with identical ids must produce a
+    # DIFFERENT build_id, or a crash between the two writes would leave a
+    # mismatched pair the query-path check cannot see
     fp = embeddings.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
-            F.expr(f"bit_xor(xxhash64(cast({id_col} as string)))"), F.lit(0)
+            F.expr(
+                f"bit_xor(xxhash64(cast({id_col} as string),"
+                " cast(embedding as string)))"
+            ),
+            F.lit(0),
         ).alias("h"),
     ).collect()[0]
     build_id = f"k{k}-i{iters}-s{seed}-n{fp['n']}-x{fp['h']:x}"
@@ -329,12 +337,34 @@ def ivf_topk_indexed(
     cos = cosine_to_query_udf(query_vec)
     cents = read_path(spark, f"{path}/centroids")
     vecs_all = read_path(spark, f"{path}/vectors")
+    # torn-rebuild check, O(nprobe) not O(index): the centroids table is k
+    # rows (trivial), and the vectors side is validated on the POST-prune
+    # frame only — the distinct below scans exactly the nprobe probed
+    # partitions, never the full index. A build that died after writing
+    # vectors but before centroids leaves old centroids next to new
+    # vectors; the probed partitions then carry the new build_id and the
+    # comparison trips. (The one blind spot — every probed cell physically
+    # empty — also yields zero candidates, so nothing wrong is returned.)
     cb = {r["build_id"] for r in cents.select("build_id").distinct().collect()}
-    vb = {r["build_id"] for r in vecs_all.select("build_id").distinct().collect()}
-    if cb != vb or len(cb) != 1:
+    if len(cb) != 1:
         raise ValueError(
             f"IVF index at {path} is inconsistent (torn rebuild?): "
-            f"centroids build {sorted(cb)} vs vectors build {sorted(vb)}"
+            f"centroids carry builds {sorted(cb)}"
+        )
+    # structural self-check, still O(k): the stamp encodes the build's k
+    # ("k{k}-i...-s...-n...-x..."), which must equal the centroid row count
+    # — catches a centroids table swapped in from a different-k build even
+    # when every probed vector partition is empty
+    stamp = next(iter(cb))
+    try:
+        stamp_k = int(stamp.split("-", 1)[0][1:])
+    except (ValueError, IndexError):
+        stamp_k = -1
+    if stamp_k != cents.count():
+        raise ValueError(
+            f"IVF index at {path} is inconsistent (torn rebuild?): "
+            f"build stamp {stamp!r} does not describe a "
+            f"{cents.count()}-centroid table"
         )
     probes = [
         int(r["cell"])
@@ -346,6 +376,13 @@ def ivf_topk_indexed(
         .collect()
     ]
     vecs = vecs_all.filter(F.col("cell").isin(probes))
+    vb = {r["build_id"] for r in vecs.select("build_id").distinct().collect()}
+    if vb - cb:
+        raise ValueError(
+            f"IVF index at {path} is inconsistent (torn rebuild?): "
+            f"centroids build {sorted(cb)} vs probed vectors build "
+            f"{sorted(vb)}"
+        )
     return (
         vecs.select("vec_id", F.round(cos(F.col("embedding")), 6).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))

@@ -351,9 +351,15 @@ def unified_data_points(frames: dict, commentary_salt: int = 1) -> DataFrame:
         "field",
         "value",
         "page",
-        F.concat(F.col("field"), F.lit(": "), F.col("value")).alias(
-            "raw_data"
-        ),
+        # the reference's General Commentary dict (app.py:420-428) carries NO
+        # raw_data key — only the LLM-path rows build the "{field}: {value}"
+        # match key (structured_llm_processor.py:405,420,435) — so src_rank 4
+        # rows emit NULL, matching the reference frame's NaN for that column
+        F.when(
+            F.col("src_rank") == 4, F.lit(None).cast("string")
+        )
+        .otherwise(F.concat(F.col("field"), F.lit(": "), F.col("value")))
+        .alias("raw_data"),
         "commentary",
         F.col("matched_line").isNotNull().alias("has_commentary"),
         "score",

@@ -19,9 +19,17 @@ and last() wins) — callers needing different tie policy pre-dedup the right
 side.
 
 Skew note (100 TB): the window partitions by the join key, so one
-pathologically hot key serializes into one task — the same boundary every
-windowed operator here has (see BENCH/BASELINE.md salting journal); as-of
-state is one struct, so memory stays O(1) per row regardless.
+pathologically hot key serializes into one task — as-of state is one
+struct, so memory stays O(1) per row regardless. For a genuinely hot key,
+``salt > 1`` spreads it: left rows take a deterministic salt from a row
+hash, each RIGHT row is replicated to every salt (every salt partition
+sees the full right timeline for its key, so the per-row match is
+unchanged), and the window partitions by (key, salt). The cost is
+right-side ×salt replication — the right/dimension side is the small one
+in the as-of shape, the hot LEFT side is what needed spreading. Default
+salt=1 (off): on uniform keys salting only adds replication + a wider
+shuffle key (same trade measured for the commentary join,
+BENCH/BASELINE.md salting journal).
 """
 
 from __future__ import annotations
@@ -37,11 +45,13 @@ def asof_join(
     ts_col: str = "ts",
     seq_col: str | None = None,
     right_prefix: str = "r_",
+    salt: int = 1,
 ) -> DataFrame:
     """Backward as-of LEFT join: every ``left`` row, enriched with the
     ``right`` row of the same ``on`` key having the greatest ``ts_col`` <=
     the left row's (nulls when no such row exists). Right payload columns
-    come back prefixed with ``right_prefix``."""
+    come back prefixed with ``right_prefix``. ``salt > 1`` spreads a hot
+    key over ``salt`` window partitions (see module docstring)."""
     rcols = [c for c in right.columns if c != on]
     lcols = left.columns
     seq = F.col(seq_col) if seq_col else F.lit(0)
@@ -71,8 +81,26 @@ def asof_join(
         .alias("__payload"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols if c != on],
     )
+    if salt > 1:
+        # hot-key spread: each left row picks a deterministic salt from a
+        # hash over its own columns; each right row is replicated to EVERY
+        # salt, so each (key, salt) window partition holds the key's full
+        # right timeline and per-row matches are identical to the unsalted
+        # plan — only the task-level parallelism changes
+        l = l.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in l.columns]), F.lit(salt)
+            ).cast("int"),
+        )
+        r = r.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        part = [on, "__salt"]
+    else:
+        part = [on]
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(*part)
         .orderBy("__ts", "__side", "__seq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -1,0 +1,227 @@
+"""Round-4 regressions: driver-window ordering, scale-shape fixes for
+weighted_sample / pack_shards / the persisted IVF index, and the
+General-Commentary raw_data contract (reference app.py:420-428)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+DRIVER_WINDOW = 50  # the correctness driver verifies the first 50 entries
+
+# queries that MUST be driver-verified this round: the reference-parity
+# core the round-3 driver missed + every query whose engine code or oracle
+# changed in round 4
+PARITY_CORE = [
+    "q31_column_union",
+    "q32_star_join_agg",
+    "q33_above_avg_balance",
+    "q34_rollup",
+    "q36_footnote_points",
+    "q37_unified_points",
+    "q38_unified_full",
+    "q40_resize_plumbing",
+    "q41_frame_sample",
+    "q42_flatten_nested",
+    # round-4 changed code/oracles
+    "q51_pack_shards",
+    "q60_weighted_sample",
+]
+
+
+def test_driver_window_contains_parity_core():
+    import __spark_entry__ as entry
+
+    qs = list(entry.queries().keys())
+    window = set(qs[:DRIVER_WINDOW])
+    missing = [k for k in PARITY_CORE if k not in window]
+    assert not missing, f"parity-core queries outside driver window: {missing}"
+    # tail entries must all have an oracle (they still run in preflight)
+    oracles = entry.oracle_sql()
+    assert set(qs) <= set(oracles)
+
+
+def test_weighted_sample_global_is_top_k_not_window(spark):
+    """The unstratified path must plan as TakeOrderedAndProject
+    (per-partition heaps), never an empty-partitionBy window that drags the
+    corpus through one task — and must return exactly the
+    Efraimidis-Spirakis top-k."""
+    from pdftableextractor_spark.operators.sampling import weighted_sample
+
+    rows = [(f"d{i:04d}", float(1 + i % 7)) for i in range(500)]
+    docs = spark.createDataFrame(rows, ["doc_id", "wt"])
+    out = weighted_sample(docs, "wt", k=25, seed=11)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+    # parity with the windowed formulation (the per-stratum code path)
+    ref = weighted_sample(
+        docs.withColumn("s", F.lit("all")), "wt", k=25, stratum_col="s",
+        seed=11,
+    ).drop("s")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in ref.collect()
+    )
+
+
+def test_pack_shards_distributed_cumsum_single_group(spark):
+    """ONE group of 1e5 docs: the cumulative sum must run across multiple
+    buckets (two-level prefix sum), not one task per group, and still equal
+    the sequential greedy packing exactly."""
+    from pdftableextractor_spark.operators.sampling import pack_shards
+
+    docs = spark.range(100_000).select(
+        F.format_string("d%07d", F.col("id")).alias("doc_id"),
+        F.lit("onegroup").alias("source"),
+        (100 + (F.col("id") * 37) % 400).cast("bigint").alias("n_tokens"),
+    )
+    out = pack_shards(docs, budget_tokens=50_000, num_buckets=8)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the local cumsum window partitions by (group, bucket) — >1 task even
+    # for a single group — and the order-preserving bucketing is a range
+    # exchange
+    assert "__bkt" in plan
+    assert "rangepartitioning" in plan.lower()
+
+    got = {r["doc_id"]: r["shard_idx"] for r in out.collect()}
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    cum = pdf["n_tokens"].cumsum()
+    expected = ((cum - pdf["n_tokens"]) // 50_000).astype(int)
+    exp = dict(zip(pdf["doc_id"], expected))
+    assert got == exp
+
+
+def test_ivf_stamp_check_scans_only_probed_partitions(spark, tmp_path):
+    """Corrupting the build stamp in a NON-probed cell must go unnoticed
+    (proof the validation touches only the nprobe probed partitions);
+    probing the corrupt cell must raise."""
+    from pdftableextractor_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_to_query_udf,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, k=4, iters=1)
+
+    # rank cells exactly as the query path does; corrupt the LAST-ranked
+    # non-empty cell so nprobe=1 never touches it
+    cos = cosine_to_query_udf(q)
+    ranked = [
+        int(r["cell"])
+        for r in spark.read.parquet(f"{idx}/centroids")
+        .select("cell", cos(F.col("centroid")).alias("c"))
+        .orderBy(F.desc("c"), F.asc("cell"))
+        .collect()
+    ]
+    present = {
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in os.listdir(f"{idx}/vectors")
+        if p.startswith("cell=")
+    }
+    victim = next(c for c in reversed(ranked) if c in present)
+    assert victim != ranked[0]
+    vdir = f"{idx}/vectors/cell={victim}"
+    pdf = pd.read_parquet(vdir)
+    pdf["build_id"] = "corrupt"
+    shutil.rmtree(vdir)
+    os.makedirs(vdir)
+    pdf.to_parquet(f"{vdir}/part-00000.parquet", index=False)
+
+    # top-1 probe never reads the corrupt partition → succeeds
+    got = ivf_topk_indexed(spark, idx, q, k=3, nprobe=1)
+    assert got.count() >= 1
+    # probing everything reads it → torn-build check trips
+    with pytest.raises(ValueError, match="inconsistent"):
+        ivf_topk_indexed(spark, idx, q, k=3, nprobe=len(ranked)).collect()
+
+
+def test_ivf_build_id_sensitive_to_embedding_content(spark, tmp_path):
+    """Re-embedding with identical vec_ids must change the build stamp —
+    otherwise a torn rebuild over re-embedded vectors is undetectable."""
+    from pdftableextractor_spark.operators.similarity import build_ivf_index
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_ivf_index(emb, a, k=4, iters=1)
+    re_emb = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    build_ivf_index(re_emb, b, k=4, iters=1)
+    ba = spark.read.parquet(f"{a}/centroids").select("build_id").first()[0]
+    bb = spark.read.parquet(f"{b}/centroids").select("build_id").first()[0]
+    assert ba != bb
+
+
+def test_q38_raw_data_null_for_general_commentary(spark):
+    """The reference's General Commentary dict (app.py:420-428) has no
+    raw_data key; every LLM-path row builds '{field}: {value}'
+    (structured_llm_processor.py:405,420,435). src_rank-4 rows must emit
+    NULL, everything else the literal match key."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q38_unified_full"](spark, "/root/testdata/sf0.001")
+    agg = df.select(
+        F.sum(
+            (
+                (F.col("type") == "General Commentary")
+                & F.col("raw_data").isNotNull()
+            ).cast("int")
+        ).alias("bad_general"),
+        F.sum(
+            (
+                (F.col("type") != "General Commentary")
+                & F.col("raw_data").isNull()
+            ).cast("int")
+        ).alias("bad_other"),
+        F.sum(
+            (F.col("type") == "General Commentary").cast("int")
+        ).alias("n_general"),
+    ).collect()[0]
+    assert agg["bad_general"] == 0
+    assert agg["bad_other"] == 0
+    assert agg["n_general"] > 0
+
+
+def test_asof_join_salted_matches_unsalted_hot_key(spark):
+    """A planted hot key (90% of left rows on one key): salt=8 must return
+    row-identical results to the unsalted plan while the window stage
+    partitions on (key, __salt) — the hot key spreads over >1 task."""
+    from pdftableextractor_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("hot" if i % 10 else f"cold{i}", i * 10 + 5) for i in range(400)],
+        ["k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("hot" if i % 4 else f"cold{i * 10}", i * 37 % 4000, f"p{i}")
+            for i in range(120)
+        ],
+        ["k", "ts", "payload"],
+    )
+    plain = asof_join(left, right, on="k")
+    salted = asof_join(left, right, on="k", salt=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("Window", 1)[0]  # nothing — just check partitioning
+    assert "__salt" in plan
+    assert "hashpartitioning(k" in plan and "__salt" in plan.split(
+        "hashpartitioning(k", 1
+    )[1][:60]
