@@ -195,6 +195,23 @@ def build_queries(spark, sf_dir: str, synth_path: str):
             .join(quality_score(docs_str), "doc_id")
             .join(lang_id(docs_str), "doc_id")
         ),
+        # round-3 operators, benched via their oracled queries() shapes so
+        # round-over-round regressions stay visible (VERDICT r3 task #6)
+        "dup_clusters": lambda: _materialize(
+            entry.queries()["q52_dup_clusters"](spark, sf_dir)
+        ),
+        "bm25": lambda: _materialize(
+            entry.queries()["q53_bm25"](spark, sf_dir)
+        ),
+        "asof_join": lambda: _materialize(
+            entry.queries()["q58_asof_join"](spark, sf_dir)
+        ),
+        "range_join": lambda: _materialize(
+            entry.queries()["q59_range_join"](spark, sf_dir)
+        ),
+        "incremental_dups": lambda: _materialize(
+            entry.queries()["q55_incremental_dups"](spark, sf_dir)
+        ),
     }
 
 

@@ -126,18 +126,24 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 PNG_AREA_MAX = 1 << 26
 
 
+# samples per pixel by color type: grey, RGB, palette-index, grey+alpha, RGBA
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Pure-stdlib PNG decode: chunk walk + zlib inflate + per-scanline
-    unfilter (filters 0-4) for 8-bit greyscale/RGB/RGBA non-interlaced
-    images. Returns (h, w, channels) uint8. No dependencies beyond zlib —
-    the 'real pixels' path the round-2 verdict asked for; a production
+    unfilter (filters 0-4), non-interlaced. Supported: 8/16-bit greyscale,
+    grey+alpha, RGB, RGBA (16-bit downsampled to 8 by taking the high
+    byte — the standard 16→8 quantization) and 1/2/4/8-bit palette
+    (PLTE lookup → RGB) or greyscale (rescaled to 8-bit). Returns
+    (h, w, channels) uint8. No dependencies beyond zlib; a production
     deployment swaps in PIL/libpng for throughput, same contract."""
     import struct
     import zlib
 
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat = 8, []
+    pos, idat, plte = 8, [], None
     w = h = depth = ctype = interlace = None
     while pos + 8 <= len(payload):
         (ln,), typ = struct.unpack(">I", payload[pos : pos + 4]), payload[
@@ -149,17 +155,27 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
             break
-    if w is None or depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+    samples = _PNG_SAMPLES.get(ctype) if w is not None else None
+    ok_depth = (
+        depth in (1, 2, 4, 8)
+        if ctype in (0, 3)
+        else depth in (8, 16)
+    ) and not (ctype == 3 and depth == 16)
+    if samples is None or not ok_depth or interlace != 0:
         raise NotImplementedError(
-            f"only 8-bit grey/RGB/RGBA non-interlaced PNGs supported "
-            f"(depth={depth}, color type={ctype}, interlace={interlace})"
+            f"unsupported PNG shape (depth={depth}, color type={ctype}, "
+            f"interlace={interlace})"
         )
-    ch = {0: 1, 2: 3, 6: 4}[ctype]
-    stride = w * ch
+    if ctype == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG without a valid PLTE chunk")
+    stride = (w * samples * depth + 7) // 8  # scanline bytes
+    bpp = max(1, (samples * depth) // 8)  # filter left-offset (PNG spec)
     expected = h * (stride + 1)
     # hostile-input bound (the GRID_AREA_MAX rule's image analog): IHDR
     # dimensions are attacker-controlled, so cap the allocation BEFORE
@@ -167,8 +183,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     # IDAT can never materialize more than expected+1 bytes
     if expected > PNG_AREA_MAX:
         raise ValueError(
-            f"PNG dimensions {w}x{h}x{ch} exceed the decode bound "
-            f"({expected} > {PNG_AREA_MAX} bytes)"
+            f"PNG dimensions {w}x{h}x{samples}@{depth} exceed the decode "
+            f"bound ({expected} > {PNG_AREA_MAX} bytes)"
         )
     d = zlib.decompressobj()
     raw = d.decompress(b"".join(idat), expected + 1)
@@ -190,9 +206,9 @@ def decode_png(payload: bytes) -> np.ndarray:
             line = (line + prev) & 0xFF
         else:  # Sub / Average / Paeth carry a left-dependency → scan
             for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
+                left = line[i - bpp] if i >= bpp else 0
                 up = prev[i]
-                ul = prev[i - ch] if i >= ch else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 if f == 1:
                     line[i] = (line[i] + left) & 0xFF
                 elif f == 3:
@@ -208,7 +224,28 @@ def decode_png(payload: bytes) -> np.ndarray:
                     raise ValueError(f"bad PNG filter {f}")
         out[y] = line.astype(np.uint8)
         prev = line
-    return out.reshape(h, w, ch)
+    # byte scanlines → pixel samples
+    if depth == 8:
+        px = out.reshape(h, w, samples)
+    elif depth == 16:
+        # big-endian sample pairs; high byte IS the 8-bit downsample
+        px = out.reshape(h, w * samples, 2)[:, :, 0].reshape(h, w, samples)
+    else:  # 1/2/4-bit grey or palette indices: unpack MSB-first bit groups
+        bits = np.unpackbits(out, axis=1)[:, : w * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+        if ctype == 0:
+            # rescale to full 8-bit range (spec's sample-depth scaling)
+            px = (vals * 255 // ((1 << depth) - 1)).astype(np.uint8)[..., None]
+        else:
+            px = vals.astype(np.uint8)[..., None]
+    if ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idxs = px[:, :, 0]
+        if idxs.size and int(idxs.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        return pal[idxs]
+    return px
 
 
 def image_features(px: np.ndarray) -> np.ndarray:
@@ -256,10 +293,11 @@ def decode_stub(payload: bytes, kind: str) -> np.ndarray:
 def _decode_one(payload: bytes, kind: str) -> np.ndarray:
     """Image PNGs decode to GENUINE pixels (decode_png) and featurize from
     them; everything else keeps the deterministic stub. A payload that LOOKS
-    like a PNG but is unsupported (16-bit, palette, interlaced), truncated,
-    or hostile (oversized header, deflate bomb) degrades to the stub instead
-    of crashing the task — one bad row must never kill a corpus-wide
-    featurize job (the drop/degrade convention: GRID_AREA_MAX, PNG_AREA_MAX)."""
+    like a PNG but is unsupported (interlaced), truncated, or hostile
+    (oversized header, deflate bomb, out-of-range palette index) degrades to
+    the stub instead of crashing the task — one bad row must never kill a
+    corpus-wide featurize job (the drop/degrade convention: GRID_AREA_MAX,
+    PNG_AREA_MAX)."""
     if kind == "image" and payload[:8] == PNG_SIG:
         try:
             return image_features(decode_png(payload))

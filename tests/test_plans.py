@@ -59,8 +59,10 @@ def test_decontaminate_broadcasts_benchmark(spark):
 
 
 def test_pack_shards_single_group_exchange(spark):
-    """Shard packing must window per group: exactly one hashpartitioning
-    Exchange (on the group column), never a global single-partition sort."""
+    """Shard packing is a two-level prefix sum (round 4): an
+    order-preserving range exchange feeding a (group, __bkt) local-cumsum
+    window — never a global single-partition sort, and never a window
+    partitioned on the group column alone (one task per group)."""
     from pdftableextractor_spark.operators.sampling import pack_shards
 
     docs = spark.createDataFrame(
@@ -68,8 +70,17 @@ def test_pack_shards_single_group_exchange(spark):
         ["doc_id", "source", "n_tokens"],
     )
     phys = _plan(pack_shards(docs, 1000)).split("== Physical Plan ==")[1]
-    assert phys.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" in phys
+    assert "__bkt" in phys
     assert "SinglePartition" not in phys
+    # the big-side cumsum window partitions by (group, bucket) — the only
+    # group-only exchange left is the tiny per-bucket totals frame, which
+    # must come back as a broadcast, never a shuffle join of the corpus
+    assert any(
+        seg[:80].startswith("source") and "__bkt" in seg[:80]
+        for seg in phys.split("Exchange hashpartitioning(")[1:]
+    ), "no (group, __bkt) window exchange found"
+    assert "BroadcastHashJoin" in phys
 
 
 def test_extract_reads_two_scans_one_shuffle(spark):

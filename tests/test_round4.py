@@ -225,3 +225,131 @@ def test_asof_join_salted_matches_unsalted_hot_key(spark):
     assert "hashpartitioning(k" in plan and "__salt" in plan.split(
         "hashpartitioning(k", 1
     )[1][:60]
+
+
+def _png_chunks(ihdr_fields, extra_chunks, scanline_bytes):
+    """Assemble a PNG from raw (already-filtered) scanline bytes."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields)
+    )
+    for typ, data in extra_chunks:
+        out += chunk(typ, data)
+    out += chunk(b"IDAT", zlib.compress(bytes(scanline_bytes)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_palette_decode():
+    """8-bit palette (color type 3): PLTE lookup yields RGB pixels; an
+    out-of-range index raises (degrades to stub via _decode_one)."""
+    import numpy as np
+
+    from pdftableextractor_spark.operators.multimodal import (
+        _decode_one,
+        decode_png,
+        decode_stub,
+    )
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])  # 4 entries
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+    png = _png_chunks((4, 2, 8, 3, 0, 0, 0), [(b"PLTE", pal)], raw)
+    got = decode_png(png)
+    exp = np.frombuffer(pal, dtype=np.uint8).reshape(4, 3)[idx]
+    assert got.shape == (2, 4, 3)
+    assert (got == exp).all()
+
+    # hostile: index 9 with a 4-entry palette → ValueError → stub fallback
+    bad_raw = b"\x00" + bytes([0, 9, 1, 2]) + b"\x00" + bytes([0, 0, 0, 0])
+    bad = _png_chunks((4, 2, 8, 3, 0, 0, 0), [(b"PLTE", pal)], bad_raw)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
+    assert (_decode_one(bad, "image") == decode_stub(bad, "image")).all()
+    # palette without PLTE → ValueError
+    noplte = _png_chunks((4, 2, 8, 3, 0, 0, 0), [], raw)
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(noplte)
+
+
+def test_png_sub_byte_palette_and_grey():
+    """2-bit palette indices and 4-bit greyscale unpack MSB-first; grey
+    rescales to the full 8-bit range."""
+    import numpy as np
+
+    from pdftableextractor_spark.operators.multimodal import decode_png
+
+    # 2-bit palette, w=5 → ceil(5*2/8)=2 bytes/row: indices 0,1,2,3,1
+    pal = bytes([1, 2, 3, 40, 50, 60, 70, 80, 90, 200, 210, 220])
+    row = bytes([0b00011011, 0b01000000])
+    png = _png_chunks((5, 1, 2, 3, 0, 0, 0), [(b"PLTE", pal)], b"\x00" + row)
+    got = decode_png(png)
+    exp = np.frombuffer(pal, dtype=np.uint8).reshape(4, 3)[
+        np.array([0, 1, 2, 3, 1])
+    ][None, :]
+    assert (got == exp).all()
+
+    # 4-bit grey, w=3 → 2 bytes/row: values 0,15,5 → 0,255,85
+    row = bytes([0x0F, 0x50])
+    png = _png_chunks((3, 1, 4, 0, 0, 0, 0), [], b"\x00" + row)
+    got = decode_png(png)
+    assert got.shape == (1, 3, 1)
+    assert got.reshape(-1).tolist() == [0, 255, 85]
+
+
+def test_png_16bit_downsample_with_filters():
+    """16-bit RGB: high byte survives the downsample, and the Sub filter's
+    left-offset is bpp=6 BYTES (not pixels) — a round-trip through filter 1
+    must reproduce the high bytes exactly."""
+    import numpy as np
+
+    from pdftableextractor_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(7)
+    px16 = rng.randint(0, 65536, size=(3, 4, 3), dtype=np.uint16)
+    be = px16.byteswap().view(np.uint8).reshape(3, 4 * 3 * 2)  # big-endian rows
+    bpp = 6
+    raw = bytearray()
+    prev = np.zeros(be.shape[1], dtype=np.int32)
+    for y, flt in enumerate([0, 1, 2]):
+        line = be[y].astype(np.int32)
+        raw.append(flt)
+        for i in range(len(line)):
+            left = int(line[i - bpp]) if i >= bpp else 0
+            v = (
+                line[i]
+                if flt == 0
+                else line[i] - left
+                if flt == 1
+                else line[i] - int(prev[i])
+            )
+            raw.append(v & 0xFF)
+        prev = line
+    png = _png_chunks((4, 3, 16, 2, 0, 0, 0), [], raw)
+    got = decode_png(png)
+    assert got.shape == (3, 4, 3)
+    assert (got == (px16 >> 8).astype(np.uint8)).all()
+
+
+def test_png_grey_alpha_decode():
+    """Color type 4 (grey+alpha, 8-bit): two channels come through."""
+    import numpy as np
+
+    from pdftableextractor_spark.operators.multimodal import decode_png
+
+    px = np.array(
+        [[[10, 200], [20, 190]], [[30, 180], [40, 170]]], dtype=np.uint8
+    )
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(2))
+    got = decode_png(_png_chunks((2, 2, 8, 4, 0, 0, 0), [], raw))
+    assert got.shape == (2, 2, 2)
+    assert (got == px).all()
