@@ -42,6 +42,7 @@ from pdftableextractor_spark.operators.dedup import (
     minhash_coeffs,
     minhash_near_dups_incremental,
     minhash_signatures,
+    duplicate_ngram_spans,
     ngram_decontaminate,
     ngram_jaccard_pairs,
     simhash_near_dups,
@@ -102,6 +103,8 @@ from pdftableextractor_spark.operators.textstats import (
     token_count,
     corpus_length_stats,
     vocab_topk,
+    drop_bottom_percentile,
+    bigram_transition_score,
 )
 from pdftableextractor_spark.types import US
 
@@ -834,6 +837,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # ----- round-4 curation operators -----
+    # per-stratum quality gate: drop the bottom 20% of each source by the
+    # composite quality score (nearest-rank threshold, ties survive)
+    def q61(s, d):
+        docs = _docs_str(s, d)
+        scored = quality_score(docs).join(
+            docs.select("doc_id", "source"), "doc_id"
+        )
+        return drop_bottom_percentile(
+            scored, 0.2, "quality", "source"
+        ).select("doc_id", "source", "quality")
+
+    q["q61_quality_gate"] = q61
+
+    # cross-document repeated 4-gram spans (substring-dedup primitive)
+    q["q62_dup_spans"] = lambda s, d: duplicate_ngram_spans(
+        _docs_str(s, d), n=4, min_docs=2
+    ).select(
+        "doc_id",
+        F.col("start_pos").cast("bigint").alias("start_pos"),
+        "gram",
+        "n_docs",
+    )
+
+    # corpus-bigram LM fluency score (perplexity-filter analog)
+    q["q63_lm_score"] = lambda s, d: bigram_transition_score(
+        _docs_str(s, d)
+    ).select("doc_id", "n_bigrams", "lm_score")
+
     # ------------------------------------------------------------------
     # driver-window ordering: the correctness driver verifies only the
     # FIRST 50 dict entries, so dict order is a verification-coverage
@@ -841,14 +873,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every query whose engine code or oracle changed this round MUST sit
     # inside the window; (b) the tail holds only queries that are
     # subsumed-by or strictly simpler than an in-window query AND were
-    # driver-green last round (q04/q05 window warm-ups ⊂ q16; q19 minhash
-    # sigs ⊂ q55's full banding; q20 simhash sigs ⊂ q21/q47; q24 brute
-    # cosine = the q25/q35 baseline, pinned by recall tests; q26/q29
-    # single-expression maps; q43 ⊂ q44; q56/q57 two-level aggs pinned by
+    # driver-green last round (q04/q05 window warm-ups ⊂ q16; q12 ⊂ q17's
+    # full grid pivot; q19 minhash sigs ⊂ q55's full banding; q20/q21
+    # simhash ⊂ q47 multiband; q24 brute cosine = the q25/q35 baseline,
+    # pinned by recall tests; q26/q29 single-expression maps; q43 ⊂ q44;
+    # q54 composes q50's hash machinery; q56/q57 two-level aggs pinned by
     # pytest). Every tail query still runs in the sf0.001 preflight
     # (tests/test_driver_oracles.py) each session.
     _TAIL = [
         "q04_line_numbering",
+        "q12_grid_pivot",
+        "q21_simhash_pairs",
+        "q54_temperature_mix",
         "q05_context_window",
         "q19_minhash_sig",
         "q20_simhash",
@@ -2281,6 +2317,111 @@ SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
        octet_length(encode(text)) AS n_bytes,
        sha256(text) AS sha
 FROM documents
+"""
+
+    # per-stratum quality gate: the quality CTE is q27's exact-integer
+    # formulation; the threshold is the nearest-rank value found on a
+    # (source, quality) histogram with pure-integer comparisons — no float
+    # thresholds anywhere, so Spark and DuckDB agree bit-for-bit
+    o["q61_quality_gate"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         length(text) AS chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS punct,
+         len({_WORDS}) AS ntok,
+         len(list_filter({_WORDS}, x -> {stop_in})) AS stop_hits
+  FROM documents
+), i AS (
+  SELECT doc_id, source,
+         CAST(least(chars, 2000) AS HUGEINT) AS m,
+         CAST(greatest(ntok, 1) AS HUGEINT) AS n,
+         CAST(greatest(chars, 1) AS HUGEINT) AS c,
+         CAST(stop_hits AS HUGEINT) AS s,
+         CAST(punct AS HUGEINT) AS p
+  FROM t
+), q AS (
+  SELECT doc_id, source,
+         CAST(((2 * m * n * c + 3000 * c * least(3 * s, n)
+                + 3000 * n * (c - least(5 * p, c))) * 2000000
+               + 10000 * n * c) // (2 * 10000 * n * c) AS DOUBLE)
+           / CAST(1000000.0 AS DOUBLE) AS quality
+  FROM i
+), h AS (
+  SELECT source, quality, count(*) AS cnt FROM q GROUP BY source, quality
+), cum AS (
+  SELECT source, quality,
+         sum(cnt) OVER (PARTITION BY source ORDER BY quality
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumc,
+         sum(cnt) OVER (PARTITION BY source) AS n
+  FROM h
+), thr AS (
+  SELECT source, min(quality) AS t FROM cum
+  WHERE cumc * 1000000 > n * 200000 GROUP BY source
+)
+SELECT q.doc_id, q.source, q.quality
+FROM q JOIN thr USING (source)
+WHERE q.quality >= thr.t
+"""
+
+    # cross-document repeated 4-gram spans: zipped range-unnest positions +
+    # 1-based inclusive list slices build the same grams as the engine's
+    # window-lead construction
+    o["q62_dup_spans"] = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter({_WORDS}, x -> x <> '') AS tk
+  FROM documents
+), g0 AS (
+  SELECT doc_id, tk, unnest(range(len(tk) - 3)) AS i
+  FROM toks WHERE len(tk) >= 4
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS start_pos,
+         array_to_string(tk[i + 1:i + 4], ' ') AS gram
+  FROM g0
+), c AS (
+  SELECT gram, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram
+)
+SELECT g.doc_id, g.start_pos, g.gram, CAST(c.n_docs AS BIGINT) AS n_docs
+FROM g JOIN c USING (gram)
+WHERE c.n_docs >= 2
+"""
+
+    # add-one bigram LM mean-transition score; both roundings (per-position
+    # 9-digit, per-doc 6-digit) in exact HUGEINT HALF_UP arithmetic,
+    # mirroring bigram_transition_score's decimal(38,0) formulation
+    o["q63_lm_score"] = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter({_WORDS}, x -> x <> '') AS tk
+  FROM documents
+), bg0 AS (
+  SELECT doc_id, unnest(tk[1:len(tk) - 1]) AS w1,
+         unnest(tk[2:len(tk)]) AS w2
+  FROM toks WHERE len(tk) >= 2
+), bgm AS (
+  SELECT doc_id, w1, w2, count(*) AS m FROM bg0 GROUP BY doc_id, w1, w2
+), b AS (
+  SELECT w1, w2, sum(m) AS b FROM bgm GROUP BY w1, w2
+), c AS (
+  SELECT w1, sum(b) AS c FROM b GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(tk) AS w FROM toks)
+), p AS (
+  SELECT bgm.doc_id, CAST(bgm.m AS HUGEINT) AS m,
+         (CAST(2 * (b.b + 1) AS HUGEINT) * 1000000000
+          + CAST(c.c + v.v AS HUGEINT))
+           // (2 * CAST(c.c + v.v AS HUGEINT)) AS p9
+  FROM bgm JOIN b USING (w1, w2) JOIN c USING (w1) CROSS JOIN v
+), d AS (
+  SELECT doc_id, sum(m * p9) AS sp9, sum(m) AS nb FROM p GROUP BY doc_id
+)
+SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+       CAST((2 * sp9 + nb * 1000) // (2 * nb * 1000) AS DOUBLE)
+         / CAST(1000000.0 AS DOUBLE) AS lm_score
+FROM d
 """
 
     return o

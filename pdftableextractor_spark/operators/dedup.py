@@ -794,3 +794,58 @@ def minhash_near_dups_incremental(
         new_docs.select("doc_id", text_col)
     )
     return verify_jaccard_pairs(cand, corpus, text_col, n, threshold)
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    n: int = 4,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated n-gram SPANS — the fixed-n distributed
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    position where a document shares an exact n-token window with
+    >= ``min_docs`` distinct documents. Downstream consumers mask or cut
+    these spans instead of dropping whole documents — the right granularity
+    for boilerplate, licenses, and templated headers that infect otherwise
+    unique documents.
+
+    Output: (doc_id, start_pos, gram, n_docs), start_pos the 0-based index
+    of the span's first token in the empty-filtered token stream.
+
+    Shape: ONE per-doc shuffle builds the n-grams (a single window with
+    n-1 leads — never a self-join, never an interpreted HOF over the token
+    array); the gram census is a two-level count-distinct on the md5 gram
+    hash (uniform keys); the span join-back is an equi join on that hash.
+    A viral gram (appears in half the corpus) makes a hot join key —
+    byte-skew, which AQE's skew split handles; candidate pruning happens
+    BEFORE the join-back (the census filter), so the join only moves spans
+    that are actually duplicated."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.filter(tokenize_col(F.col(text_col)), lambda x: x != "")
+        ).alias("pos", "tok"),
+    ).filter(F.col("tok").isNotNull())
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = (
+        toks.select(
+            "doc_id",
+            F.col("pos").alias("start_pos"),
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].isNotNull().alias("__full"),
+        )
+        .filter(F.col("__full"))
+        .drop("__full")
+        .withColumn("__gh", F.md5(F.col("gram")))
+    )
+    census = (
+        grams.groupBy("__gh")
+        .agg(F.count_distinct(F.col("doc_id")).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return grams.join(census, "__gh").select(
+        "doc_id", "start_pos", "gram", F.col("n_docs").cast("bigint").alias("n_docs")
+    )

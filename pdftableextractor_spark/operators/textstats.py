@@ -351,3 +351,140 @@ def vocab_topk(
         .orderBy(F.desc("n"), F.asc("term"))
         .limit(k)
     )
+
+
+def drop_bottom_percentile(
+    docs: DataFrame,
+    frac: float,
+    score_col: str = "quality",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Per-stratum quality gate: drop (about) the bottom ``frac`` of each
+    stratum by ``score_col`` — the CCNet/Gopher-style "keep the best X%"
+    filter, done as a threshold rule so it stays scan-shaped at corpus
+    scale.
+
+    Exact semantics (deterministic, tie-stable): a row survives iff its
+    score >= t_s, where t_s is the smallest score in stratum s whose
+    inclusive cumulative count exceeds floor-free ``cum * 1e6 > n *
+    round(frac*1e6)`` — i.e. the nearest-rank percentile value. All ties AT
+    the threshold survive, so at most ``frac`` of the stratum is dropped.
+    No floating-point thresholds anywhere: the comparison is pure bigint,
+    so the DuckDB oracle matches bit-for-bit.
+
+    Shape: one (stratum, score) histogram aggregate (map-side combined —
+    the shuffle carries one row per distinct score per stratum), a window
+    over that TINY frame, and a broadcast join of one threshold row per
+    stratum back onto the corpus. The corpus itself is never shuffled."""
+    from pyspark.sql import Window
+
+    frac_micro = int(round(float(frac) * 1_000_000))
+    hist = docs.groupBy(
+        F.col(stratum_col).alias("__st"), F.col(score_col).alias("__sc")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    w_cum = (
+        Window.partitionBy("__st")
+        .orderBy("__sc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("__st")
+    cum = hist.select(
+        "__st",
+        "__sc",
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    thr = (
+        cum.filter(
+            F.col("__cum") * F.lit(1_000_000)
+            > F.col("__n") * F.lit(frac_micro)
+        )
+        .groupBy("__st")
+        .agg(F.min("__sc").alias("__thr"))
+    )
+    return (
+        docs.join(
+            F.broadcast(thr), docs[stratum_col] == thr["__st"], "inner"
+        )
+        .filter(F.col(score_col) >= F.col("__thr"))
+        .select(*docs.columns)
+    )
+
+
+def bigram_transition_score(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-LM fluency scoring — the deterministic, oracle-exact analog of
+    CCNet's KenLM perplexity filter: train an add-one-smoothed bigram model
+    on the corpus itself and score each document by its mean transition
+    probability
+
+        P(w2 | w1) = (B(w1,w2) + 1) / (C(w1) + V)
+
+    with B the corpus bigram count, C(w1) = sum_w B(w1,w) the context
+    count, and V the corpus vocabulary size. Output: (doc_id, n_bigrams,
+    lm_score) for every document with >= 1 bigram; lm_score = the mean P
+    rounded to 6 digits. Low scores mark gibberish / boilerplate-soup
+    documents exactly as a perplexity threshold would (a production
+    deployment swaps in a broadcast KenLM binary scored in a pandas_udf —
+    same output contract).
+
+    All rounding is exact-integer (HALF_UP in decimal(38,0): each P is
+    rounded to 9 digits, the per-doc mean to 6 — both reproduced verbatim
+    in the DuckDB oracle), because float round ties are engine-dependent.
+
+    Shape: per-doc bigrams from ONE window lead (no self-join), bigrams
+    pre-aggregated per (doc, w1, w2) so the model join moves one row per
+    distinct bigram per doc; B and C are two-level count aggregates; V is a
+    1-row broadcast. The (w1, w2) model join is the inherently token-shaped
+    part — common bigrams are hot keys; AQE's skew-join split handles them
+    (count frames are byte-heavy per key, unlike the CPU-skew joins that
+    needed manual salting)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.filter(tokenize_col(F.col(text_col)), lambda x: x != "")
+        ).alias("pos", "tok"),
+    ).filter(F.col("tok").isNotNull())
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.select(
+        "doc_id",
+        F.col("tok").alias("w1"),
+        F.lead("tok", 1).over(w).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    bgm = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    b_counts = bgm.groupBy("w1", "w2").agg(F.sum("m").alias("b"))
+    c_counts = b_counts.groupBy("w1").agg(F.sum("b").alias("c"))
+    vocab = toks.agg(F.count_distinct(F.col("tok")).alias("v"))
+
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    den = dec(F.col("c") + F.col("v"))
+    x = dec(F.col("b") + F.lit(1)) * F.lit(2_000_000_000) + den
+    p9 = (x - F.pmod(x, F.lit(2) * den)) / (F.lit(2) * den)
+
+    scored = (
+        bgm.join(b_counts, ["w1", "w2"])
+        .join(c_counts, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "m",
+            p9.cast("decimal(38,0)").alias("__p9"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum(dec(F.col("m")) * F.col("__p9")).alias("__sp9"),
+        F.sum("m").alias("n_bigrams"),
+    )
+    den2 = dec(F.col("n_bigrams")) * F.lit(1000)
+    x2 = F.col("__sp9").cast("decimal(38,0)") * F.lit(2) + den2
+    q6 = (x2 - F.pmod(x2, F.lit(2) * den2)) / (F.lit(2) * den2)
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        (q6.cast("double") / F.lit(1_000_000.0)).alias("lm_score"),
+    )

@@ -30,6 +30,10 @@ PARITY_CORE = [
     # round-4 changed code/oracles
     "q51_pack_shards",
     "q60_weighted_sample",
+    # round-4 new operators
+    "q61_quality_gate",
+    "q62_dup_spans",
+    "q63_lm_score",
 ]
 
 
@@ -353,3 +357,77 @@ def test_png_grey_alpha_decode():
     got = decode_png(_png_chunks((2, 2, 8, 4, 0, 0, 0), [], raw))
     assert got.shape == (2, 2, 2)
     assert (got == px).all()
+
+
+def test_drop_bottom_percentile_threshold_and_ties(spark):
+    """Nearest-rank semantics: bottom frac dropped per stratum, ALL ties at
+    the threshold survive, and the corpus side joins the thresholds by
+    broadcast (never shuffles)."""
+    from pdftableextractor_spark.operators.textstats import (
+        drop_bottom_percentile,
+    )
+
+    rows = (
+        [(f"a{i}", "s1", float(i)) for i in range(10)]  # scores 0..9
+        # s2: 4 rows at score 1 (tie block), 6 above
+        + [(f"b{i}", "s2", 1.0) for i in range(4)]
+        + [(f"c{i}", "s2", float(5 + i)) for i in range(6)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "quality"])
+    out = drop_bottom_percentile(docs, 0.3, "quality", "source")
+    got = {r["doc_id"] for r in out.collect()}
+    # s1: drop scores 0,1,2 (30% of 10) -> keep 3..9
+    assert {f"a{i}" for i in range(10)} & got == {f"a{i}" for i in range(3, 10)}
+    # s2: threshold lands ON the tie block (cum 4 > 3) -> ALL four survive
+    assert {f"b{i}" for i in range(4)} <= got
+    assert {f"c{i}" for i in range(6)} <= got
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_ngram_spans_hand_example(spark):
+    """Exact span positions for a planted shared 3-gram; unique text never
+    reported; within-doc-only repetition is excluded by min_docs."""
+    from pdftableextractor_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "all rights reserved for ever"),
+            ("d2", "text body then all rights reserved"),
+            ("d3", "totally unique content here indeed"),
+            ("d4", "echo echo echo echo echo"),  # repeats only within d4
+        ],
+        ["doc_id", "text"],
+    )
+    out = duplicate_ngram_spans(docs, n=3, min_docs=2).collect()
+    spans = {(r["doc_id"], r["start_pos"], r["gram"]) for r in out}
+    assert spans == {
+        ("d1", 0, "all rights reserved"),
+        ("d2", 3, "all rights reserved"),
+    }
+    assert all(r["n_docs"] == 2 for r in out)
+
+
+def test_bigram_transition_score_hand_math(spark):
+    """Tiny corpus scored by hand: P(w2|w1) = (B+1)/(C+V), mean per doc,
+    exact-integer rounding."""
+    from pdftableextractor_spark.operators.textstats import (
+        bigram_transition_score,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "a b a b"), ("d2", "a b c"), ("d3", "x")],
+        ["doc_id", "text"],
+    )
+    # bigrams: d1: (a,b),(b,a),(a,b); d2: (a,b),(b,c). V = {a,b,c,x} = 4
+    # B(a,b)=3, B(b,a)=1, B(b,c)=1; C(a)=3, C(b)=2
+    # P(a,b) = 4/7; P(b,a) = 2/6; P(b,c) = 2/6
+    out = {r["doc_id"]: r for r in bigram_transition_score(docs).collect()}
+    assert set(out) == {"d1", "d2"}  # d3 has no bigram
+    p_ab = round(4 / 7, 9)
+    p_ba = p_bc = round(2 / 6, 9)
+    d1 = round((2 * p_ab + p_ba) / 3, 6)
+    d2 = round((p_ab + p_bc) / 2, 6)
+    assert out["d1"]["n_bigrams"] == 3 and out["d1"]["lm_score"] == d1
+    assert out["d2"]["n_bigrams"] == 2 and out["d2"]["lm_score"] == d2
