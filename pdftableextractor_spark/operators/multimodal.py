@@ -162,11 +162,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif typ == b"IEND":
             break
     samples = _PNG_SAMPLES.get(ctype) if w is not None else None
-    ok_depth = (
-        depth in (1, 2, 4, 8)
-        if ctype in (0, 3)
-        else depth in (8, 16)
-    ) and not (ctype == 3 and depth == 16)
+    if ctype == 0:
+        ok_depth = depth in (1, 2, 4, 8, 16)
+    elif ctype == 3:
+        ok_depth = depth in (1, 2, 4, 8)
+    else:
+        ok_depth = depth in (8, 16)
     if samples is None or not ok_depth or interlace != 0:
         raise NotImplementedError(
             f"unsupported PNG shape (depth={depth}, color type={ctype}, "
@@ -181,10 +182,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     # dimensions are attacker-controlled, so cap the allocation BEFORE
     # inflating, and inflate with an output ceiling so a deflate bomb in
     # IDAT can never materialize more than expected+1 bytes
-    if expected > PNG_AREA_MAX:
+    # the pixel-count cap closes the sub-byte loophole: a 1-bit image packs
+    # 8 pixels per filtered byte, so bounding bytes alone would let the
+    # unpack stage allocate 8x the byte bound
+    if expected > PNG_AREA_MAX or h * w * samples > PNG_AREA_MAX:
         raise ValueError(
             f"PNG dimensions {w}x{h}x{samples}@{depth} exceed the decode "
-            f"bound ({expected} > {PNG_AREA_MAX} bytes)"
+            f"bound ({expected} bytes / {h * w * samples} samples > "
+            f"{PNG_AREA_MAX})"
         )
     d = zlib.decompressobj()
     raw = d.decompress(b"".join(idat), expected + 1)
@@ -231,14 +236,21 @@ def decode_png(payload: bytes) -> np.ndarray:
         # big-endian sample pairs; high byte IS the 8-bit downsample
         px = out.reshape(h, w * samples, 2)[:, :, 0].reshape(h, w, samples)
     else:  # 1/2/4-bit grey or palette indices: unpack MSB-first bit groups
-        bits = np.unpackbits(out, axis=1)[:, : w * depth]
-        weights = 1 << np.arange(depth - 1, -1, -1)
-        vals = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+        # uint8 shift-accumulate end to end — an int64 multiply/sum here
+        # would materialize 8-byte intermediates and defeat the allocation
+        # cap the bounds above enforce
+        bits = np.unpackbits(out, axis=1)[:, : w * depth].reshape(h, w, depth)
+        vals = np.zeros((h, w), dtype=np.uint8)
+        for bix in range(depth):
+            vals = (vals << 1) | bits[:, :, bix]
         if ctype == 0:
-            # rescale to full 8-bit range (spec's sample-depth scaling)
-            px = (vals * 255 // ((1 << depth) - 1)).astype(np.uint8)[..., None]
+            # rescale to full 8-bit range (spec's sample-depth scaling):
+            # 255/(2^depth - 1) is an exact integer for depth 1/2/4 and
+            # max_val * scale == 255, so the uint8 multiply never wraps
+            scale = 255 // ((1 << depth) - 1)
+            px = (vals * np.uint8(scale))[..., None]
         else:
-            px = vals.astype(np.uint8)[..., None]
+            px = vals[..., None]
     if ctype == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idxs = px[:, :, 0]

@@ -64,6 +64,7 @@ def pack_shards(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     num_buckets: int | None = None,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Assign each document a (group, shard_idx) so that every shard's token
     sum stays ≤ ``budget_tokens`` + one document (the standard greedy
@@ -86,16 +87,24 @@ def pack_shards(
 
     shard ids depend only on cumulative token sums in id order, so the
     output is invariant to the physical bucketing. The bucketed lineage is
-    evaluated once per branch (totals + main); that is safe because the
-    range boundaries are deterministic for identical input (seeded sketch
-    sampling) and the explicit ``num_buckets`` keeps AQE from re-coalescing
-    either branch differently. Costs one extra exchange vs the
-    serial-per-group window — the price of intra-group parallelism.
-    Output adds shard_idx int."""
+    evaluated once per branch (totals + main); that is safe iff ``docs``
+    has a DETERMINISTIC lineage — the range boundaries are then identical
+    in both branches (seeded sketch sampling over the same input
+    partitions) and the explicit ``num_buckets`` keeps AQE from
+    re-coalescing them differently. If the input lineage is NOT
+    deterministic (unseeded sample, rand()-derived columns, un-ordered
+    limit), pass ``checkpoint=True``: the bucketed frame is
+    localCheckpoint-ed so both branches read one materialization instead
+    of re-evaluating — otherwise the branches could disagree on __bkt and
+    the inner offset join would silently mis-shard or drop rows. Costs one
+    extra exchange vs the serial-per-group window — the price of
+    intra-group parallelism. Output adds shard_idx int."""
     b = num_buckets or docs.sparkSession.sparkContext.defaultParallelism
     bucketed = docs.repartitionByRange(
         b, F.col(group_col), F.col(id_col)
     ).withColumn("__bkt", F.spark_partition_id())
+    if checkpoint:
+        bucketed = bucketed.localCheckpoint()
     totals = bucketed.groupBy(group_col, "__bkt").agg(
         F.sum(F.col(tokens_col).cast("bigint")).alias("__tot")
     )

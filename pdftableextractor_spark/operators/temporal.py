@@ -87,10 +87,15 @@ def asof_join(
         # salt, so each (key, salt) window partition holds the key's full
         # right timeline and per-row matches are identical to the unsalted
         # plan — only the task-level parallelism changes
+        # salt from (key, ts) only: hashing arbitrary payload columns would
+        # reject map-typed payloads (xxhash64 can't take MapType) and buys
+        # no extra spread — a hot key's rows differ in ts, so (key, ts)
+        # already scatters them (rows sharing an identical (key, ts) share
+        # a salt; that degenerate case is one timestamp, not one key)
         l = l.withColumn(
             "__salt",
             F.pmod(
-                F.xxhash64(*[F.col(c) for c in l.columns]), F.lit(salt)
+                F.xxhash64(F.col(on), F.col("__ts")), F.lit(salt)
             ).cast("int"),
         )
         r = r.withColumn(

@@ -44,6 +44,13 @@ def test_driver_window_contains_parity_core():
     window = set(qs[:DRIVER_WINDOW])
     missing = [k for k in PARITY_CORE if k not in window]
     assert not missing, f"parity-core queries outside driver window: {missing}"
+    # EVERY non-tail query must fit the window — a new query added without
+    # extending DRIVER_TAIL would silently ship driver-unverified
+    head = [k for k in qs if k not in entry.DRIVER_TAIL]
+    assert len(head) <= DRIVER_WINDOW, (
+        f"{len(head)} head queries exceed the {DRIVER_WINDOW}-entry window"
+    )
+    assert qs[: len(head)] == head, "tail entries interleaved into the head"
     # tail entries must all have an oracle (they still run in preflight)
     oracles = entry.oracle_sql()
     assert set(qs) <= set(oracles)
@@ -224,7 +231,6 @@ def test_asof_join_salted_matches_unsalted_hot_key(spark):
         map(tuple, salted.collect())
     )
     plan = salted._jdf.queryExecution().executedPlan().toString()
-    seg = plan.split("Window", 1)[0]  # nothing — just check partitioning
     assert "__salt" in plan
     assert "hashpartitioning(k" in plan and "__salt" in plan.split(
         "hashpartitioning(k", 1
@@ -431,3 +437,38 @@ def test_bigram_transition_score_hand_math(spark):
     d2 = round((p_ab + p_bc) / 2, 6)
     assert out["d1"]["n_bigrams"] == 3 and out["d1"]["lm_score"] == d1
     assert out["d2"]["n_bigrams"] == 2 and out["d2"]["lm_score"] == d2
+
+
+def test_png_16bit_greyscale_decode():
+    """ctype 0 / depth 16 was advertised but rejected (round-4 review):
+    high-byte downsample must work for greyscale too."""
+    import numpy as np
+
+    from pdftableextractor_spark.operators.multimodal import decode_png
+
+    px16 = np.array([[1000, 65535, 0], [256, 511, 40000]], dtype=np.uint16)
+    be = px16.byteswap().view(np.uint8).reshape(2, 6)
+    raw = b"".join(b"\x00" + be[y].tobytes() for y in range(2))
+    got = decode_png(_png_chunks((3, 2, 16, 0, 0, 0, 0), [], raw))
+    assert got.shape == (2, 3, 1)
+    assert (got[:, :, 0] == (px16 >> 8).astype(np.uint8)).all()
+
+
+def test_png_sub_byte_pixel_bound():
+    """A 1-bit PNG whose FILTERED bytes fit the cap but whose pixel count
+    exceeds it must be rejected before the 8x unpack allocation."""
+    import struct
+
+    from pdftableextractor_spark.operators.multimodal import (
+        PNG_AREA_MAX,
+        decode_png,
+    )
+
+    w, h = PNG_AREA_MAX, 2  # 2*(w/8 + 1) bytes ≈ 16 MiB, but 2w pixels
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
+    )
+    with pytest.raises(ValueError, match="exceed the decode bound"):
+        decode_png(png)
