@@ -12,11 +12,19 @@ One pass over documents(doc_id, text, ...):
                           (a,c),(b,c) collapse to one survivor, not two).
                           --near-dup-mode pair restores the old per-pair
                           drop-the-higher rule
-  3. quality gate         composite quality score >= --min-quality
+  3. quality gate         composite quality score >= --min-quality, and/or
+                          a RELATIVE per-source gate dropping the bottom
+                          --quality-pct fraction of each source
+                          (nearest-rank threshold, ties survive)
   4. repetition gate      Gopher-style: dup-sentence fraction and
                           top-bigram fraction below --max-rep
   5. language gate        marker-based lang-id in --langs (best-effort;
                           'und' passes — absence of evidence isn't exclusion)
+  5b. fluency gate        corpus-bigram LM mean-transition score >=
+                          --min-lm-score (perplexity-filter analog; the
+                          model is trained on the survivors of stage 5,
+                          exactly like CCNet trains on its own corpus;
+                          skipped when unset)
   6. PII scrub            emails/URLs/phones replaced with typed tags
   7. decontaminate        drop docs sharing a word n-gram with --benchmark
                           (skipped when no benchmark parquet is given)
@@ -24,7 +32,9 @@ One pass over documents(doc_id, text, ...):
                           --mix 'src=frac,...' targets, or temperature-
                           alpha mixing with --temp-mix 'alpha:budget_frac'
                           (p_s ~ n_s^alpha; skipped when both unset)
-  9. annotate + shard     token counts + fingerprint, then token-budget
+  9. annotate + shard     token counts + fingerprint (+ n_dup_spans, the
+                          count of cross-document repeated --dup-span-n-gram
+                          windows, when that flag is set), then token-budget
                           shard packing (--shard-tokens) per source
 
 Writes <output>/clean (curated corpus with stats + shard_idx columns) and
@@ -45,6 +55,27 @@ def main() -> None:
     p.add_argument("--input", required=True, help="dir with documents.parquet")
     p.add_argument("--output", required=True)
     p.add_argument("--min-quality", type=float, default=0.3)
+    p.add_argument(
+        "--quality-pct",
+        type=float,
+        default=None,
+        help="also drop the bottom FRACTION of each source by quality "
+        "(relative gate; e.g. 0.2 keeps the best four-fifths of a source)",
+    )
+    p.add_argument(
+        "--min-lm-score",
+        type=float,
+        default=None,
+        help="drop docs whose corpus-bigram LM mean-transition score is "
+        "below this (fluency/perplexity-filter analog; skipped when unset)",
+    )
+    p.add_argument(
+        "--dup-span-n",
+        type=int,
+        default=None,
+        help="annotate each doc with n_dup_spans = count of exact n-token "
+        "windows shared with >= 2 documents (substring-dedup signal)",
+    )
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
     p.add_argument(
         "--near-dup-mode",
@@ -82,6 +113,7 @@ def main() -> None:
 
     from pdftableextractor_spark.operators.dedup import (
         connected_components,
+        duplicate_ngram_spans,
         exact_dedup,
         minhash_near_dups,
         ngram_decontaminate,
@@ -92,6 +124,8 @@ def main() -> None:
         temperature_mix,
     )
     from pdftableextractor_spark.operators.textstats import (
+        bigram_transition_score,
+        drop_bottom_percentile,
         fingerprint,
         lang_id,
         quality_score,
@@ -143,6 +177,15 @@ def main() -> None:
     ).localCheckpoint()
     n3 = docs3.count()
 
+    n3p = None
+    if args.quality_pct is not None:
+        # relative gate on top of the absolute one: histogram threshold per
+        # source, broadcast back — the corpus is filtered, never shuffled
+        docs3 = drop_bottom_percentile(
+            docs3, args.quality_pct, "quality", "source"
+        ).localCheckpoint()
+        n3p = docs3.count()
+
     rep = repetition_stats(docs3.select("doc_id", "text")).select(
         "doc_id", "dup_sent_frac", "top_bigram_frac"
     )
@@ -158,6 +201,16 @@ def main() -> None:
         F.col("lang_pred").isin(langs)
     ).localCheckpoint()
     n4 = docs4.count()
+
+    n4f = None
+    if args.min_lm_score is not None:
+        lm = bigram_transition_score(docs4.select("doc_id", "text")).select(
+            "doc_id", "lm_score"
+        )
+        docs4 = docs4.join(lm, "doc_id").filter(
+            F.col("lm_score") >= args.min_lm_score
+        ).localCheckpoint()
+        n4f = docs4.count()
 
     scrubbed = docs4.join(
         redact_pii(docs4.select("doc_id", "text")), "doc_id"
@@ -200,6 +253,17 @@ def main() -> None:
             "doc_id",
         )
     )
+    if args.dup_span_n is not None:
+        span_counts = (
+            duplicate_ngram_spans(
+                scrubbed.select("doc_id", "text"), n=args.dup_span_n
+            )
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+        )
+        annotated = annotated.join(span_counts, "doc_id", "left").fillna(
+            {"n_dup_spans": 0}
+        )
     sharded = pack_shards(
         annotated, budget_tokens=args.shard_tokens, tokens_col="ws_tokens"
     )
@@ -216,6 +280,10 @@ def main() -> None:
         "shards": n_shards,
         "sec": round(time.time() - t0, 3),
     }
+    if n3p is not None:
+        summary["after_quality_pct"] = n3p
+    if n4f is not None:
+        summary["after_lm_gate"] = n4f
     if n5 is not None:
         summary["after_decontaminate"] = n5
     if n6 is not None:
