@@ -814,31 +814,40 @@ def duplicate_ngram_spans(
     Output: (doc_id, start_pos, gram, n_docs), start_pos the 0-based index
     of the span's first token in the empty-filtered token stream.
 
-    Shape: ONE per-doc shuffle builds the n-grams (a single window with
-    n-1 leads — never a self-join, never an interpreted HOF over the token
-    array); the gram census is a two-level count-distinct on the md5 gram
-    hash (uniform keys); the span join-back is an equi join on that hash.
-    A viral gram (appears in half the corpus) makes a hot join key —
+    Shape: the n-grams are built SCAN-SIDE with zero shuffles — n shifted
+    slices of the token array zipped and exploded once (no per-doc window,
+    no self-join, no interpreted HOF: the concat over struct fields runs
+    post-explode in whole-stage codegen). Tokenization sits in its own
+    projection so the slices reference a bound attribute, not n inlined
+    copies of the tokenizer (the ngram_decontaminate barrier rule). The
+    gram census is then a two-level count-distinct on the md5 gram hash
+    (uniform keys); the span join-back is an equi join on that hash. A
+    viral gram (appears in half the corpus) makes a hot join key —
     byte-skew, which AQE's skew split handles; candidate pruning happens
     BEFORE the join-back (the census filter), so the join only moves spans
     that are actually duplicated."""
-    toks = docs.select(
+    base = docs.select(
         "doc_id",
-        F.posexplode_outer(
-            F.filter(tokenize_col(F.col(text_col)), lambda x: x != "")
-        ).alias("pos", "tok"),
-    ).filter(F.col("tok").isNotNull())
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+        F.filter(tokenize_col(F.col(text_col)), lambda x: x != "").alias(
+            "__tk"
+        ),
+    )
+    m = F.greatest(F.size(F.col("__tk")) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("__tk"), i + 1, m) for i in range(n)]
+    )
     grams = (
-        toks.select(
-            "doc_id",
-            F.col("pos").alias("start_pos"),
-            F.concat_ws(" ", *parts).alias("gram"),
-            parts[-1].isNotNull().alias("__full"),
+        base.select(
+            "doc_id", F.posexplode_outer(zipped).alias("start_pos", "__gs")
         )
-        .filter(F.col("__full"))
-        .drop("__full")
+        .filter(F.col("__gs").isNotNull())
+        .select(
+            "doc_id",
+            "start_pos",
+            F.concat_ws(
+                " ", *[F.col("__gs").getField(str(i)) for i in range(n)]
+            ).alias("gram"),
+        )
         .withColumn("__gh", F.md5(F.col("gram")))
     )
     census = (

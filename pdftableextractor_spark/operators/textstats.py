@@ -433,33 +433,42 @@ def bigram_transition_score(
     rounded to 9 digits, the per-doc mean to 6 — both reproduced verbatim
     in the DuckDB oracle), because float round ties are engine-dependent.
 
-    Shape: per-doc bigrams from ONE window lead (no self-join), bigrams
-    pre-aggregated per (doc, w1, w2) so the model join moves one row per
-    distinct bigram per doc; B and C are two-level count aggregates; V is a
-    1-row broadcast. The (w1, w2) model join is the inherently token-shaped
-    part — common bigrams are hot keys; AQE's skew-join split handles them
-    (count frames are byte-heavy per key, unlike the CPU-skew joins that
-    needed manual salting)."""
-    from pyspark.sql import Window
-
-    toks = docs.select(
+    Shape: bigrams are built SCAN-SIDE with zero shuffles (two shifted
+    slices of the token array zipped + one explode — no per-doc window;
+    the tokenizer sits in its own projection so the slices reference a
+    bound attribute), then pre-aggregated per (doc, w1, w2) so the model
+    join moves one row per distinct bigram per doc; B and C are two-level
+    count aggregates; V is a 1-row broadcast. The (w1, w2) model join is
+    the inherently token-shaped part — common bigrams are hot keys; AQE's
+    skew-join split handles them (count frames are byte-heavy per key,
+    unlike the CPU-skew joins that needed manual salting)."""
+    base = docs.select(
         "doc_id",
-        F.posexplode_outer(
-            F.filter(tokenize_col(F.col(text_col)), lambda x: x != "")
-        ).alias("pos", "tok"),
-    ).filter(F.col("tok").isNotNull())
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bg = toks.select(
-        "doc_id",
-        F.col("tok").alias("w1"),
-        F.lead("tok", 1).over(w).alias("w2"),
-    ).filter(F.col("w2").isNotNull())
+        F.filter(tokenize_col(F.col(text_col)), lambda x: x != "").alias(
+            "__tk"
+        ),
+    )
+    mlen = F.greatest(F.size(F.col("__tk")) - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(F.col("__tk"), 1, mlen), F.slice(F.col("__tk"), 2, mlen)
+    )
+    bg = (
+        base.select("doc_id", F.explode_outer(zipped).alias("__p"))
+        .filter(F.col("__p").isNotNull())
+        .select(
+            "doc_id",
+            F.col("__p").getField("0").alias("w1"),
+            F.col("__p").getField("1").alias("w2"),
+        )
+    )
     bgm = bg.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("m")
     )
     b_counts = bgm.groupBy("w1", "w2").agg(F.sum("m").alias("b"))
     c_counts = b_counts.groupBy("w1").agg(F.sum("b").alias("c"))
-    vocab = toks.agg(F.count_distinct(F.col("tok")).alias("v"))
+    vocab = base.select(F.explode("__tk").alias("tok")).agg(
+        F.count_distinct(F.col("tok")).alias("v")
+    )
 
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     den = dec(F.col("c") + F.col("v"))
