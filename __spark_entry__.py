@@ -42,6 +42,7 @@ from pdftableextractor_spark.operators.dedup import (
     minhash_coeffs,
     minhash_near_dups_incremental,
     minhash_signatures,
+    containment_pairs,
     duplicate_ngram_spans,
     ngram_decontaminate,
     ngram_jaccard_pairs,
@@ -116,6 +117,7 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 # a previous round — they still run in the per-session sf0.001 preflight
 DRIVER_TAIL = [
     "q04_line_numbering",
+    "q22_ngram_jaccard",
     "q12_grid_pivot",
     "q21_simhash_pairs",
     "q54_temperature_mix",
@@ -885,6 +887,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q63_lm_score"] = lambda s, d: bigram_transition_score(
         _docs_str(s, d)
     ).select("doc_id", "n_bigrams", "lm_score")
+
+    # asymmetric containment pairs: the dup class Jaccard misses (a small
+    # doc quoted whole inside a large one); prefix-filter candidates
+    q["q64_containment"] = lambda s, d: containment_pairs(
+        _docs_str(s, d), n=3, threshold=0.5
+    ).select("doc_a", "doc_b", "inter", "size_a", "size_b", "containment")
 
     # ------------------------------------------------------------------
     # driver-window ordering: the correctness driver verifies only the
@@ -2397,6 +2405,37 @@ WITH toks AS (
 SELECT g.doc_id, g.start_pos, g.gram, CAST(c.n_docs AS BIGINT) AS n_docs
 FROM g JOIN c USING (gram)
 WHERE c.n_docs >= 2
+"""
+
+    # asymmetric containment: exact shingle-set intersections over
+    # co-occurring pairs (the oracle needs no prefix filter — any pair with
+    # inter >= 1 appears in the shingle self-join); the threshold compare is
+    # pure integer on both sides
+    o["q64_containment"] = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter({_WORDS}, x -> x <> '') AS tk
+  FROM documents
+), g0 AS (
+  SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i
+  FROM toks WHERE len(tk) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i + 1:i + 3], ' ') AS s
+  FROM g0
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+       CAST(x.sz AS BIGINT) AS size_a, CAST(y.sz AS BIGINT) AS size_b,
+       round(CAST(i.inter AS DOUBLE) / least(x.sz, y.sz), 6) AS containment
+FROM inter i
+JOIN sz x ON x.doc_id = i.doc_a
+JOIN sz y ON y.doc_id = i.doc_b
+WHERE i.inter * 1000000 >= 500000 * least(x.sz, y.sz)
 """
 
     # add-one bigram LM mean-transition score; both roundings (per-position

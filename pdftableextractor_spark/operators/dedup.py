@@ -858,3 +858,109 @@ def duplicate_ngram_spans(
     return grams.join(census, "__gh").select(
         "doc_id", "start_pos", "gram", F.col("n_docs").cast("bigint").alias("n_docs")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection: pairs where the smaller
+    document's shingle set is mostly CONTAINED in the larger one's —
+    containment = |A∩B| / min(|A|, |B|) >= threshold. This is the dup
+    class Jaccard-based MinHash misses by construction: a 200-token doc
+    quoted whole inside a 10k-token doc has Jaccard ≈ 0.02 but
+    containment 1.0 (the quoted-page / boilerplate-wrapper case corpus
+    curation actually meets).
+
+    Output: (doc_a, doc_b, inter, size_a, size_b, containment) with
+    doc_a < doc_b, containment rounded to 6 digits; the threshold filter
+    itself is pure-integer (inter·10^6 >= t_micro·min(size)), so the
+    DuckDB oracle matches bit-for-bit.
+
+    Shape — a PPJoin-style prefix-filter join, never all-pairs:
+      1. per-doc DISTINCT word n-gram shingles (scan-side arrays);
+      2. global shingle doc-frequencies (two-level count agg);
+      3. each doc's PREFIX = its (|A| - ceil(t·|A|) + 1) globally RAREST
+         shingles (per-doc window over df order — pigeonhole: a doc
+         t-contained in B has < (1-t)·|A| shingles outside B, so at least
+         one prefix shingle lands in B — no false negatives);
+      4. candidates = prefix ⋈ full inverted index on the shingle — the
+         prefix picks rare shingles, so the join fan-out per shingle is
+         small by construction (the hot common-shingle keys never enter
+         the probe side);
+      5. exact |A∩B| only for candidate pairs (two bounded joins + count),
+         then the integer threshold filter.
+    The only corpus-sized shuffles are shingle-keyed aggregates and the
+    candidate-bounded intersection joins; nothing is quadratic in the
+    corpus."""
+    t_micro = int(round(float(threshold) * 1_000_000))
+    base = docs.select(
+        "doc_id", tokenize_col(F.col(text_col)).alias("__w")
+    )
+    sh = base.select(
+        "doc_id",
+        F.explode_outer(
+            shingles_from_tokens_col(F.col("__w"), n)
+        ).alias("s"),
+    ).filter(F.col("s").isNotNull())
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    # integer ceil(t*|A|) = (t_micro*sz + 999_999) div 1e6 — conservative
+    # prefix bound with no float in the correctness path
+    prefix_len = (
+        F.col("sz")
+        - F.floor(
+            (F.lit(t_micro) * F.col("sz") + F.lit(999_999))
+            / F.lit(1_000_000)
+        )
+        + F.lit(1)
+    )
+    pref = (
+        sh.join(dfc, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sz, "doc_id")
+        .filter(F.col("rn") <= prefix_len)
+        .select(F.col("doc_id").alias("__pa"), "s")
+    )
+    cand = (
+        pref.join(sh.select(F.col("doc_id").alias("__pb"), "s"), "s")
+        .filter(F.col("__pa") != F.col("__pb"))
+        .select(
+            F.least("__pa", "__pb").alias("doc_a"),
+            F.greatest("__pa", "__pb").alias("doc_b"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")),
+            "doc_b",
+        )
+        .filter(
+            F.col("inter") * F.lit(1_000_000)
+            >= F.lit(t_micro) * F.least("size_a", "size_b")
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").cast("bigint").alias("inter"),
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+        F.round(
+            F.col("inter") / F.least("size_a", "size_b"), 6
+        ).alias("containment"),
+    )

@@ -176,3 +176,114 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df).collect()
     }
     assert got == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    tokens=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(2, 4),
+)
+def test_duplicate_ngram_spans_matches_sequential(spark, tokens, n):
+    """Scan-side gram construction must equal a sequential n-gram census on
+    arbitrary token streams (empty docs, short docs, repeated grams)."""
+    from collections import defaultdict
+
+    from pdftableextractor_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = [(f"d{i}", " ".join(toks)) for i, toks in enumerate(tokens)]
+    by_gram: dict[str, set] = defaultdict(set)
+    spans = []
+    for did, toks in ((d, t.split()) for d, t in docs):
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            by_gram[g].add(did)
+            spans.append((did, i, g))
+    exp = {
+        (d, i, g, len(by_gram[g]))
+        for d, i, g in spans
+        if len(by_gram[g]) >= 2
+    }
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["start_pos"], r["gram"], r["n_docs"])
+        for r in duplicate_ngram_spans(df, n=n).collect()
+    }
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.integers(10, 500),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    frac_pct=st.integers(0, 100),
+    buckets=st.integers(1, 7),
+)
+def test_sampling_ops_fuzz(spark, rows, frac_pct, buckets):
+    """drop_bottom_percentile never drops more than frac of a stratum (ties
+    survive) and keeps the top scores; pack_shards is invariant to the
+    bucket count and matches the sequential greedy packing."""
+    from collections import defaultdict
+
+    from pdftableextractor_spark.operators.sampling import pack_shards
+    from pdftableextractor_spark.operators.textstats import (
+        drop_bottom_percentile,
+    )
+
+    frac = frac_pct / 100.0
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", s, float(v)) for i, (s, v) in enumerate(rows)],
+        ["doc_id", "source", "quality"],
+    )
+    kept = drop_bottom_percentile(docs, frac, "quality", "source").collect()
+    per_in: dict[str, list] = defaultdict(list)
+    for i, (s, v) in enumerate(rows):
+        per_in[s].append((float(v), f"d{i:03d}"))
+    per_out: dict[str, set] = defaultdict(set)
+    for r in kept:
+        per_out[r["source"]].add(r["doc_id"])
+    for s, vals in per_in.items():
+        n = len(vals)
+        cut = n * frac_pct // 100  # bigint-exact cutoff used by the engine
+        # sequential nearest-rank: threshold = smallest score whose
+        # inclusive cumulative count exceeds the cutoff
+        svals = sorted(vals)
+        seen, thr = 0, None
+        from itertools import groupby
+
+        for score, grp in groupby(svals, key=lambda t: t[0]):
+            seen += len(list(grp))
+            if seen * 100 > n * frac_pct:
+                thr = score
+                break
+        exp = {d for v, d in vals if thr is not None and v >= thr}
+        assert per_out[s] == exp, f"stratum {s}: {per_out[s]} != {exp}"
+        assert len(exp) >= n - cut  # ties at the threshold only ADD rows
+
+    from pyspark.sql import functions as F
+
+    shard_in = docs.withColumnRenamed("quality", "wt").withColumn(
+        "n_tokens", F.col("wt").cast("bigint")
+    )
+    out = {
+        r["doc_id"]: r["shard_idx"]
+        for r in pack_shards(
+            shard_in, budget_tokens=700, num_buckets=buckets
+        ).collect()
+    }
+    cum: dict[str, int] = defaultdict(int)
+    exp_shards = {}
+    for i, (s, v) in sorted(enumerate(rows), key=lambda t: f"d{t[0]:03d}"):
+        d = f"d{i:03d}"
+        exp_shards[d] = cum[s] // 700
+        cum[s] += int(v)
+    assert out == exp_shards

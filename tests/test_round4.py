@@ -34,6 +34,7 @@ PARITY_CORE = [
     "q61_quality_gate",
     "q62_dup_spans",
     "q63_lm_score",
+    "q64_containment",
 ]
 
 
@@ -472,3 +473,71 @@ def test_png_sub_byte_pixel_bound():
     )
     with pytest.raises(ValueError, match="exceed the decode bound"):
         decode_png(png)
+
+
+def test_containment_pairs_finds_what_jaccard_misses(spark):
+    """A short doc quoted whole inside a long one: containment 1.0 but
+    Jaccard far below any practical threshold — containment_pairs must
+    report it, minhash_near_dups at the same nominal threshold must not."""
+    from pdftableextractor_spark.operators.dedup import (
+        containment_pairs,
+        minhash_near_dups,
+    )
+
+    small = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i} token{i * 7 % 97} body{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [
+            ("d1", small),
+            ("d2", filler + " " + small + " " + filler.upper()),
+            ("d3", "completely unrelated content with other words entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert ("d1", "d2") in got
+    r = got[("d1", "d2")]
+    assert r["containment"] == 1.0 and r["inter"] == r["size_a"]
+    assert all(k == ("d1", "d2") for k in got)
+
+    mh = minhash_near_dups(docs, n=3, threshold=0.8).collect()
+    assert not any(
+        {p["doc_a"], p["doc_b"]} == {"d1", "d2"} for p in mh
+    ), "jaccard should miss the contained pair at 0.8"
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    """Prefix-filter candidates must reproduce the exact all-pairs result
+    on a corpus with many partial overlaps (threshold sweep)."""
+    from itertools import combinations
+
+    from pdftableextractor_spark.operators.dedup import containment_pairs
+
+    base_words = [f"tok{i}" for i in range(30)]
+    rows = []
+    for d in range(12):
+        # overlapping sliding windows of a shared vocabulary + unique tail
+        words = base_words[d : d + 12] + [f"u{d}_{j}" for j in range(d % 4)]
+        rows.append((f"d{d:02d}", " ".join(words)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def shingle_set(text, n=3):
+        t = text.lower().split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    for thr in (0.3, 0.6, 0.9):
+        sets = {d: shingle_set(t) for d, t in rows}
+        exp = set()
+        for a, b in combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            mn = min(len(sets[a]), len(sets[b]))
+            if mn and inter * 1_000_000 >= int(thr * 1_000_000) * mn:
+                exp.add((a, b, inter))
+        got = {
+            (r["doc_a"], r["doc_b"], r["inter"])
+            for r in containment_pairs(docs, n=3, threshold=thr).collect()
+        }
+        assert got == exp, f"thr={thr}: {got ^ exp}"
