@@ -904,7 +904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green last round (q04/q05 window warm-ups ⊂ q16; q12 ⊂ q17's
     # full grid pivot; q19 minhash sigs ⊂ q55's full banding; q20/q21
     # simhash ⊂ q47 multiband; q24 brute cosine = the q25/q35 baseline,
-    # pinned by recall tests; q26/q29 single-expression maps; q43 ⊂ q44;
+    # pinned by recall tests; q22 exact-Jaccard ⊂ q64's exact shingle
+    # intersections + q55's banding; q26/q29 single-expression maps; q43 ⊂ q44;
     # q54 composes q50's hash machinery; q56/q57 two-level aggs pinned by
     # pytest). Every tail query still runs in the sf0.001 preflight
     # (tests/test_driver_oracles.py) each session.
@@ -2431,7 +2432,9 @@ WITH toks AS (
 )
 SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
        CAST(x.sz AS BIGINT) AS size_a, CAST(y.sz AS BIGINT) AS size_b,
-       round(CAST(i.inter AS DOUBLE) / least(x.sz, y.sz), 6) AS containment
+       CAST((CAST(2 * i.inter AS HUGEINT) * 1000000 + least(x.sz, y.sz))
+            // (2 * CAST(least(x.sz, y.sz) AS HUGEINT)) AS DOUBLE)
+         / 1000000.0 AS containment
 FROM inter i
 JOIN sz x ON x.doc_id = i.doc_a
 JOIN sz y ON y.doc_id = i.doc_b

@@ -207,8 +207,11 @@ def main() -> None:
         lm = bigram_transition_score(docs4.select("doc_id", "text")).select(
             "doc_id", "lm_score"
         )
-        docs4 = docs4.join(lm, "doc_id").filter(
-            F.col("lm_score") >= args.min_lm_score
+        # LEFT join: docs too short to have a bigram get no score — they
+        # pass (stage-5 principle: absence of evidence isn't exclusion)
+        docs4 = docs4.join(lm, "doc_id", "left").filter(
+            (F.col("lm_score") >= args.min_lm_score)
+            | F.col("lm_score").isNull()
         ).localCheckpoint()
         n4f = docs4.count()
 

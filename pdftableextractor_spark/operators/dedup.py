@@ -897,14 +897,28 @@ def containment_pairs(
     corpus."""
     t_micro = int(round(float(threshold) * 1_000_000))
     base = docs.select(
-        "doc_id", tokenize_col(F.col(text_col)).alias("__w")
-    )
-    sh = base.select(
         "doc_id",
-        F.explode_outer(
-            shingles_from_tokens_col(F.col("__w"), n)
-        ).alias("s"),
-    ).filter(F.col("s").isNotNull())
+        # empty tokens filtered BEFORE shingling — Spark's trim strips
+        # spaces only, so a trailing newline would otherwise add a phantom
+        # ''-bearing shingle the oracle (list_filter x <> '') never sees
+        F.filter(tokenize_col(F.col(text_col)), lambda x: x != "").alias(
+            "__w"
+        ),
+    )
+    sh = (
+        base.select(
+            "doc_id",
+            F.explode_outer(
+                shingles_from_tokens_col(F.col("__w"), n)
+            ).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+        # five plan branches (sizes, doc-frequencies, prefix, candidate
+        # probe, intersection x2) read this frame under different operators
+        # — ReuseExchange cannot dedupe them, so persist the shingling once
+        # (MEMORY_AND_DISK; spills rather than recomputing 5x at scale)
+        .persist()
+    )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
@@ -954,13 +968,17 @@ def containment_pairs(
             >= F.lit(t_micro) * F.least("size_a", "size_b")
         )
     )
+    # exact-integer 6-digit rounding (the q61/q63 decimal(38,0) pattern):
+    # double round(x, 6) disagrees between Spark and DuckDB on real ratios
+    # like 323/640, so HALF_UP(inter*1e6/min) is computed with integer ops
+    mn = F.least("size_a", "size_b").cast("decimal(38,0)")
+    x6 = F.col("inter").cast("decimal(38,0)") * F.lit(2_000_000) + mn
+    c6 = (x6 - F.pmod(x6, F.lit(2) * mn)) / (F.lit(2) * mn)
     return out.select(
         "doc_a",
         "doc_b",
         F.col("inter").cast("bigint").alias("inter"),
         F.col("size_a").cast("bigint").alias("size_a"),
         F.col("size_b").cast("bigint").alias("size_b"),
-        F.round(
-            F.col("inter") / F.least("size_a", "size_b"), 6
-        ).alias("containment"),
+        (c6.cast("double") / F.lit(1_000_000.0)).alias("containment"),
     )

@@ -541,3 +541,35 @@ def test_containment_prefix_filter_is_lossless(spark):
             for r in containment_pairs(docs, n=3, threshold=thr).collect()
         }
         assert got == exp, f"thr={thr}: {got ^ exp}"
+
+
+def test_containment_trailing_whitespace_and_exact_rounding(spark):
+    """Round-4 review regressions: (a) a trailing newline must not create a
+    phantom empty-token shingle (engine must agree with the oracle's
+    empty-filtered tokenization); (b) the containment column must use
+    exact-integer HALF_UP rounding — 323/640 rounds to 0.504688 in Spark's
+    double round but 0.504687 in DuckDB's."""
+    import duckdb
+
+    from pdftableextractor_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "foo bar baz\n"),
+            ("d2", "intro words foo bar baz outro words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    r = containment_pairs(docs, n=3, threshold=0.5).collect()
+    assert len(r) == 1
+    row = r[0]
+    # 'foo bar baz\n' = exactly one trigram -> size_a 1, containment 1.0
+    assert row["size_a"] == 1 and row["containment"] == 1.0
+
+    # exact rounding: engine value must equal DuckDB's HUGEINT HALF_UP
+    eng = (2 * 323 * 1_000_000 + 640) // (2 * 640) / 1_000_000
+    duck = duckdb.sql(
+        "SELECT CAST((CAST(2*323 AS HUGEINT)*1000000 + 640) // (2*640) "
+        "AS DOUBLE)/1000000.0"
+    ).fetchone()[0]
+    assert eng == duck == 0.504688
