@@ -32,6 +32,9 @@ One pass over documents(doc_id, text, ...):
                           --mix 'src=frac,...' targets, or temperature-
                           alpha mixing with --temp-mix 'alpha:budget_frac'
                           (p_s ~ n_s^alpha; skipped when both unset)
+  6b. span masking        cut cross-document duplicated --mask-span-n-gram
+                          windows from the text (substring dedup: remove
+                          the duplicate, keep the doc; emptied docs drop)
   9. annotate + shard     token counts + fingerprint (+ n_dup_spans, the
                           count of cross-document repeated --dup-span-n-gram
                           windows, when that flag is set), then token-budget
@@ -76,6 +79,14 @@ def main() -> None:
         help="annotate each doc with n_dup_spans = count of exact n-token "
         "windows shared with >= 2 documents (substring-dedup signal)",
     )
+    p.add_argument(
+        "--mask-span-n",
+        type=int,
+        default=None,
+        help="CUT every cross-document duplicated n-token window from the "
+        "text (Lee et al. substring dedup: remove the duplicate, keep the "
+        "doc); docs left empty are dropped",
+    )
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
     p.add_argument(
         "--near-dup-mode",
@@ -115,6 +126,7 @@ def main() -> None:
         connected_components,
         duplicate_ngram_spans,
         exact_dedup,
+        mask_duplicate_spans,
         minhash_near_dups,
         ngram_decontaminate,
     )
@@ -219,6 +231,20 @@ def main() -> None:
         redact_pii(docs4.select("doc_id", "text")), "doc_id"
     ).drop("text").withColumnRenamed("clean_text", "text")
 
+    n4m = None
+    if args.mask_span_n is not None:
+        masked = mask_duplicate_spans(
+            scrubbed.select("doc_id", "text"), n=args.mask_span_n
+        ).select("doc_id", F.col("clean_text").alias("__masked"))
+        scrubbed = (
+            scrubbed.join(masked, "doc_id")
+            .drop("text")
+            .withColumnRenamed("__masked", "text")
+            .filter(F.col("text") != "")
+            .localCheckpoint()
+        )
+        n4m = scrubbed.count()
+
     n5 = n6 = None
     if args.benchmark:
         bench = read_path(spark, args.benchmark)
@@ -285,6 +311,8 @@ def main() -> None:
     }
     if n3p is not None:
         summary["after_quality_pct"] = n3p
+    if n4m is not None:
+        summary["after_span_mask"] = n4m
     if n4f is not None:
         summary["after_lm_gate"] = n4f
     if n5 is not None:

@@ -600,3 +600,29 @@ def test_mask_duplicate_spans_hand_example(spark):
     assert out["d3"]["clean_text"] == "" and out["d3"]["n_removed"] == 3
     assert out["d4"]["clean_text"] == "unique text stays whole here"
     assert out["d4"]["n_removed"] == 0
+
+
+def test_pack_shards_checkpoint_with_nondeterministic_lineage(spark):
+    """checkpoint=True materializes the bucketed frame once, so even a
+    nondeterministic input lineage (unseeded shuffle-dependent sample)
+    yields consistent offsets: output equals the sequential packing of
+    whatever rows came through."""
+    from pdftableextractor_spark.operators.sampling import pack_shards
+
+    docs = (
+        spark.range(5_000)
+        .select(
+            F.format_string("d%05d", F.col("id")).alias("doc_id"),
+            F.lit("g").alias("source"),
+            (50 + (F.col("id") * 13) % 200).cast("bigint").alias("n_tokens"),
+        )
+        .sample(0.5)  # unseeded — lineage nondeterministic by design
+    )
+    out = pack_shards(
+        docs, budget_tokens=9_000, num_buckets=6, checkpoint=True
+    ).collect()
+    rows = sorted((r["doc_id"], r["n_tokens"], r["shard_idx"]) for r in out)
+    cum = 0
+    for d, t, idx in rows:
+        assert idx == cum // 9_000, f"{d}: {idx} != {cum // 9000}"
+        cum += t
