@@ -1049,3 +1049,62 @@ def mask_duplicate_spans(
             ).cast("bigint").alias("n_removed"),
         )
     )
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Containment-based benchmark decontamination — the precision-oriented
+    complement to ``ngram_decontaminate``: a training doc is dropped only
+    if >= ``threshold`` of some benchmark document's shingle set appears in
+    it (near-verbatim contamination with light edits), not on any single
+    shared n-gram. GPT-3's appendix-C rule is the exact variant; this is
+    the graded one eval-suite curation uses when the exact rule over-kills.
+
+    Returns surviving docs (all input columns). The threshold compare is
+    pure integer (inter·10^6 >= t_micro·|bench set|).
+
+    Shape: the benchmark side is the SMALL side by definition, so its
+    distinct (bench_id, shingle) rows broadcast; the corpus side stays
+    scan-shaped — per-doc-distinct shingles (array_distinct inside the
+    shingle array, no shuffle) probe the broadcast, the only aggregation is
+    over actual hits (doc, bench_id), and survivors come from one anti
+    join on doc_id. The corpus is never shuffled wholesale."""
+    t_micro = int(round(float(threshold) * 1_000_000))
+
+    def _sh(df, id_alias):
+        base = df.select(
+            F.col("doc_id").alias(id_alias),
+            F.filter(
+                tokenize_col(F.col(text_col)), lambda x: x != ""
+            ).alias("__w"),
+        )
+        return base.select(
+            id_alias,
+            F.explode_outer(
+                shingles_from_tokens_col(F.col("__w"), n)
+            ).alias("s"),
+        ).filter(F.col("s").isNotNull())
+
+    bsh = _sh(benchmark, "bench_id")
+    bsz = bsh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bsz"))
+    csh = _sh(docs, "__cid")
+    hits = (
+        csh.join(F.broadcast(bsh), "s")
+        .groupBy("__cid", "bench_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    contaminated = (
+        hits.join(F.broadcast(bsz), "bench_id")
+        .filter(
+            F.col("inter") * F.lit(1_000_000)
+            >= F.lit(t_micro) * F.col("bsz")
+        )
+        .select(F.col("__cid").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(contaminated, "doc_id", "left_anti")

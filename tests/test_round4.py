@@ -36,6 +36,7 @@ PARITY_CORE = [
     "q63_lm_score",
     "q64_containment",
     "q65_mask_spans",
+    "q66_fuzzy_decontaminate",
 ]
 
 
@@ -626,3 +627,38 @@ def test_pack_shards_checkpoint_with_nondeterministic_lineage(spark):
     for d, t, idx in rows:
         assert idx == cum // 9_000, f"{d}: {idx} != {cum // 9000}"
         cum += t
+
+
+def test_fuzzy_decontaminate_graded_vs_exact(spark):
+    """A doc sharing ONE trigram with a benchmark doc survives the fuzzy
+    rule (exact rule would kill it) but a near-verbatim copy is dropped;
+    docs with no overlap are untouched."""
+    from pdftableextractor_spark.operators.dedup import (
+        fuzzy_decontaminate,
+        ngram_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [("b1", "what is the capital of france paris obviously")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            # near-verbatim contamination (light edit at the end)
+            ("t1", "what is the capital of france paris indeed"),
+            # shares only the trigram 'the capital of' in passing
+            ("t2", "discussion about the capital of markets and flows"),
+            ("t3", "no overlap at all in this document"),
+        ],
+        ["doc_id", "text"],
+    )
+    fuzzy = {
+        r["doc_id"]
+        for r in fuzzy_decontaminate(docs, bench, n=3, threshold=0.6).collect()
+    }
+    assert fuzzy == {"t2", "t3"}
+    exact = {
+        r["doc_id"]
+        for r in ngram_decontaminate(docs, bench, n=3).collect()
+    }
+    assert exact == {"t3"}, "exact rule kills any shared trigram"
