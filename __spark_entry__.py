@@ -2470,8 +2470,12 @@ WHERE i.inter * 1000000 >= 500000 * least(x.sz, y.sz)
     # exploded per span, anti-joined out, ordered string_agg reassembly
     o["q65_mask_spans"] = f"""
 WITH toks AS (
+  -- tk = lowercased gram spec; tko = ORIGINAL case for reassembly
+  -- (lower() never touches whitespace, so positions align)
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         list_filter({_WORDS}, x -> x <> '') AS tk
+         list_filter({_WORDS}, x -> x <> '') AS tk,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS tko
   FROM documents
 ), g0 AS (
   SELECT doc_id, tk, unnest(range(len(tk) - 3)) AS i
@@ -2485,7 +2489,7 @@ WITH toks AS (
   SELECT DISTINCT g.doc_id, g.start_pos + u.j AS pos
   FROM g JOIN c USING (gram), unnest(range(4)) AS u(j)
 ), tok2 AS (
-  SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos FROM toks
+  SELECT doc_id, unnest(tko) AS tok, unnest(range(len(tko))) AS pos FROM toks
 ), kept AS (
   SELECT t.doc_id, t.tok, t.pos
   FROM tok2 t ANTI JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos

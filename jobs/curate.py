@@ -26,15 +26,16 @@ One pass over documents(doc_id, text, ...):
                           exactly like CCNet trains on its own corpus;
                           skipped when unset)
   6. PII scrub            emails/URLs/phones replaced with typed tags
+  6b. span masking        cut cross-document duplicated --mask-span-n-gram
+                          windows from the text (substring dedup: remove
+                          the duplicate, keep the doc — original casing of
+                          surviving tokens preserved; emptied docs drop)
   7. decontaminate        drop docs sharing a word n-gram with --benchmark
                           (skipped when no benchmark parquet is given)
   8. mix                  deterministic hash-stratified sampling to
                           --mix 'src=frac,...' targets, or temperature-
                           alpha mixing with --temp-mix 'alpha:budget_frac'
                           (p_s ~ n_s^alpha; skipped when both unset)
-  6b. span masking        cut cross-document duplicated --mask-span-n-gram
-                          windows from the text (substring dedup: remove
-                          the duplicate, keep the doc; emptied docs drop)
   9. annotate + shard     token counts + fingerprint (+ n_dup_spans, the
                           count of cross-document repeated --dup-span-n-gram
                           windows, when that flag is set), then token-budget
@@ -233,6 +234,10 @@ def main() -> None:
 
     n4m = None
     if args.mask_span_n is not None:
+        # checkpoint first: the mask self-joins scrubbed against three
+        # derived branches, which would otherwise re-run the PII regex
+        # passes once per branch (the stage-lineage rule at the top)
+        scrubbed = scrubbed.localCheckpoint()
         masked = mask_duplicate_spans(
             scrubbed.select("doc_id", "text"), n=args.mask_span_n
         ).select("doc_id", F.col("clean_text").alias("__masked"))
@@ -311,10 +316,10 @@ def main() -> None:
     }
     if n3p is not None:
         summary["after_quality_pct"] = n3p
-    if n4m is not None:
-        summary["after_span_mask"] = n4m
     if n4f is not None:
         summary["after_lm_gate"] = n4f
+    if n4m is not None:
+        summary["after_span_mask"] = n4m
     if n5 is not None:
         summary["after_decontaminate"] = n5
     if n6 is not None:

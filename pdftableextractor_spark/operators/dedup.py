@@ -796,6 +796,29 @@ def minhash_near_dups_incremental(
     return verify_jaccard_pairs(cand, corpus, text_col, n, threshold)
 
 
+def _ngram_span_frame(base: DataFrame, n: int) -> DataFrame:
+    """(doc_id, start_pos, gram) from a (doc_id, __tk token-array) frame —
+    the shared scan-side gram construction: n shifted slices zipped and
+    exploded once, concat in codegen post-explode; zero shuffles."""
+    m = F.greatest(F.size(F.col("__tk")) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("__tk"), i + 1, m) for i in range(n)]
+    )
+    return (
+        base.select(
+            "doc_id", F.posexplode_outer(zipped).alias("start_pos", "__gs")
+        )
+        .filter(F.col("__gs").isNotNull())
+        .select(
+            "doc_id",
+            "start_pos",
+            F.concat_ws(
+                " ", *[F.col("__gs").getField(str(i)) for i in range(n)]
+            ).alias("gram"),
+        )
+    )
+
+
 def duplicate_ngram_spans(
     docs: DataFrame,
     n: int = 4,
@@ -832,23 +855,8 @@ def duplicate_ngram_spans(
             "__tk"
         ),
     )
-    m = F.greatest(F.size(F.col("__tk")) - (n - 1), F.lit(0))
-    zipped = F.arrays_zip(
-        *[F.slice(F.col("__tk"), i + 1, m) for i in range(n)]
-    )
-    grams = (
-        base.select(
-            "doc_id", F.posexplode_outer(zipped).alias("start_pos", "__gs")
-        )
-        .filter(F.col("__gs").isNotNull())
-        .select(
-            "doc_id",
-            "start_pos",
-            F.concat_ws(
-                " ", *[F.col("__gs").getField(str(i)) for i in range(n)]
-            ).alias("gram"),
-        )
-        .withColumn("__gh", F.md5(F.col("gram")))
+    grams = _ngram_span_frame(base, n).withColumn(
+        "__gh", F.md5(F.col("gram"))
     )
     census = (
         grams.groupBy("__gh")
@@ -999,6 +1007,11 @@ def mask_duplicate_spans(
     Output: (doc_id, clean_text, n_tokens, n_removed) for EVERY input doc
     — a fully-duplicated document comes back with clean_text '' (callers
     drop or keep by n_removed/n_tokens policy), never silently vanishes.
+    The gram census is case-insensitive (the shared dedup token spec) but
+    the reassembled text keeps each surviving token's ORIGINAL case —
+    untouched documents keep their exact words (uppercase PII tags
+    included); only inter-token whitespace collapses to single spaces,
+    the inherent granularity of token-level masking.
 
     Shape: spans are scan-side (duplicate_ngram_spans); covered positions
     are an explode over each span's n offsets + distinct; the keep set is
@@ -1006,24 +1019,43 @@ def mask_duplicate_spans(
     (pos, token) structs with codegen field extraction — no interpreted
     HOF, no window. Everything shuffles at most once per stage on
     (doc_id)-grained keys."""
-    spans = duplicate_ngram_spans(docs, n=n, min_docs=min_docs,
-                                  text_col=text_col)
-    covered = spans.select(
-        "doc_id",
-        F.explode(
-            F.sequence(
-                F.col("start_pos"), F.col("start_pos") + F.lit(n - 1)
-            )
-        ).alias("pos"),
-    ).distinct()
-    base = docs.select(
+    # ONE tokenize projection carries both views of each token stream:
+    # __tk (lowercased — the shared dedup gram spec, what the census
+    # matches on) and __tko (ORIGINAL case — what the reassembly emits, so
+    # masking never rewrites untouched text's casing or the uppercase PII
+    # tags). lower() can never add/remove whitespace, so the two arrays
+    # are position-aligned by construction.
+    both = docs.select(
         "doc_id",
         F.filter(tokenize_col(F.col(text_col)), lambda x: x != "").alias(
             "__tk"
         ),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("__tko"),
     )
-    toks = base.select(
-        "doc_id", F.posexplode_outer(F.col("__tk")).alias("pos", "tok")
+    spans = _ngram_span_frame(both.select("doc_id", "__tk"), n).withColumn(
+        "__gh", F.md5(F.col("gram"))
+    )
+    census = (
+        spans.groupBy("__gh")
+        .agg(F.count_distinct(F.col("doc_id")).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    covered = (
+        spans.join(census, "__gh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("start_pos"), F.col("start_pos") + F.lit(n - 1)
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = both.select(
+        "doc_id", F.posexplode_outer(F.col("__tko")).alias("pos", "tok")
     ).filter(F.col("tok").isNotNull())
     kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
     re = kept.groupBy("doc_id").agg(
@@ -1035,7 +1067,7 @@ def mask_duplicate_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("__kept"),
     )
-    totals = base.select(
+    totals = both.select(
         "doc_id", F.size(F.col("__tk")).cast("bigint").alias("n_tokens")
     )
     return (

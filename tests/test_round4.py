@@ -578,16 +578,18 @@ def test_containment_trailing_whitespace_and_exact_rounding(spark):
 
 
 def test_mask_duplicate_spans_hand_example(spark):
-    """Shared 3-gram removed from both docs; overlapping coverage unions;
-    fully-duplicated docs come back empty rather than vanishing."""
+    """Shared 3-gram removed from both docs (census is case-insensitive);
+    overlapping coverage unions; fully-duplicated docs come back empty
+    rather than vanishing; surviving tokens keep ORIGINAL case (uppercase
+    PII tags included) — round-4 review regression."""
     from pdftableextractor_spark.operators.dedup import mask_duplicate_spans
 
     docs = spark.createDataFrame(
         [
-            ("d1", "keep1 all rights reserved keep2"),
-            ("d2", "pre all rights reserved post words"),
+            ("d1", "Keep1 all rights reserved KEEP2 <EMAIL>"),
+            ("d2", "pre All Rights Reserved post words"),
             ("d3", "all rights reserved"),   # fully covered
-            ("d4", "unique text stays whole here"),
+            ("d4", "Unique TEXT stays whole here <URL>"),
         ],
         ["doc_id", "text"],
     )
@@ -595,19 +597,21 @@ def test_mask_duplicate_spans_hand_example(spark):
         r["doc_id"]: r
         for r in mask_duplicate_spans(docs, n=3, min_docs=2).collect()
     }
-    assert out["d1"]["clean_text"] == "keep1 keep2"
+    assert out["d1"]["clean_text"] == "Keep1 KEEP2 <EMAIL>"
     assert out["d1"]["n_removed"] == 3
     assert out["d2"]["clean_text"] == "pre post words"
     assert out["d3"]["clean_text"] == "" and out["d3"]["n_removed"] == 3
-    assert out["d4"]["clean_text"] == "unique text stays whole here"
+    assert out["d4"]["clean_text"] == "Unique TEXT stays whole here <URL>"
     assert out["d4"]["n_removed"] == 0
 
 
 def test_pack_shards_checkpoint_with_nondeterministic_lineage(spark):
-    """checkpoint=True materializes the bucketed frame once, so even a
-    nondeterministic input lineage (unseeded shuffle-dependent sample)
-    yields consistent offsets: output equals the sequential packing of
-    whatever rows came through."""
+    """Functional coverage of the checkpoint=True path: the materialized
+    bucketed frame still yields the exact sequential packing. (An unseeded
+    sample() fixes its seed at plan creation, so this cannot prove branch
+    divergence would occur without the checkpoint — true run-to-run
+    nondeterminism isn't reproducible in a unit test; the checkpoint's
+    single-materialization guarantee is what this pins.)"""
     from pdftableextractor_spark.operators.sampling import pack_shards
 
     docs = (
