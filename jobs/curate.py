@@ -31,7 +31,10 @@ One pass over documents(doc_id, text, ...):
                           the duplicate, keep the doc — original casing of
                           surviving tokens preserved; emptied docs drop)
   7. decontaminate        drop docs sharing a word n-gram with --benchmark
-                          (skipped when no benchmark parquet is given)
+                          (skipped when no benchmark parquet is given);
+                          --fuzzy-decontam T switches to the graded rule —
+                          drop only when >= T of a benchmark doc's shingle
+                          set is contained in the training doc
   8. mix                  deterministic hash-stratified sampling to
                           --mix 'src=frac,...' targets, or temperature-
                           alpha mixing with --temp-mix 'alpha:budget_frac'
@@ -106,6 +109,13 @@ def main() -> None:
     )
     p.add_argument("--decontam-n", type=int, default=13)
     p.add_argument(
+        "--fuzzy-decontam",
+        type=float,
+        default=None,
+        help="containment threshold in (0,1]: use the graded decontamination "
+        "rule instead of the exact any-shared-n-gram rule",
+    )
+    p.add_argument(
         "--mix",
         default=None,
         help="stratified-sampling targets 'src0=0.8,src1=0.5' (per source "
@@ -127,6 +137,7 @@ def main() -> None:
         connected_components,
         duplicate_ngram_spans,
         exact_dedup,
+        fuzzy_decontaminate,
         mask_duplicate_spans,
         minhash_near_dups,
         ngram_decontaminate,
@@ -253,9 +264,15 @@ def main() -> None:
     n5 = n6 = None
     if args.benchmark:
         bench = read_path(spark, args.benchmark)
-        scrubbed = ngram_decontaminate(
-            scrubbed, bench, n=args.decontam_n
-        ).localCheckpoint()
+        if args.fuzzy_decontam is not None:
+            scrubbed = fuzzy_decontaminate(
+                scrubbed, bench, n=args.decontam_n,
+                threshold=args.fuzzy_decontam,
+            ).localCheckpoint()
+        else:
+            scrubbed = ngram_decontaminate(
+                scrubbed, bench, n=args.decontam_n
+            ).localCheckpoint()
         n5 = scrubbed.count()
     if args.mix:
         fracs = {
