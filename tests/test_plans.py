@@ -201,3 +201,49 @@ def test_temperature_mix_broadcasts_fractions(spark):
     phys = _plan(temperature_mix(docs)).split("== Physical Plan ==")[1]
     assert "BroadcastHashJoin" in phys
     assert "SortMergeJoin" not in phys
+
+
+def test_round4_operators_plan_shapes(spark):
+    """Pin the round-4 operators' physical shapes: scan-side gram
+    construction means NO Window anywhere in q62/q63/q65; nothing plans a
+    cartesian/broadcast-nested-loop; containment's shingle frame is served
+    from cache (the persist is load-bearing — 5 branches read it); fuzzy
+    decontamination broadcasts the benchmark side."""
+    from pyspark.sql import functions as F
+
+    from pdftableextractor_spark.operators.dedup import (
+        containment_pairs,
+        duplicate_ngram_spans,
+        fuzzy_decontaminate,
+        mask_duplicate_spans,
+    )
+    from pdftableextractor_spark.operators.textstats import (
+        bigram_transition_score,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).withColumn("doc_id", F.col("doc_id").cast("string"))
+
+    def phys(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for df in (
+        duplicate_ngram_spans(docs, n=4),
+        bigram_transition_score(docs),
+        mask_duplicate_spans(docs, n=4),
+    ):
+        p = phys(df)
+        assert "Window" not in p, "gram construction regressed to a window"
+        assert "CartesianProduct" not in p
+
+    p = phys(containment_pairs(docs, n=3, threshold=0.5))
+    assert "InMemoryTableScan" in p, "shingle persist not in effect"
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    bench = docs.filter(F.col("doc_id").cast("bigint") % 20 == 0)
+    corp = docs.filter(F.col("doc_id").cast("bigint") % 20 != 0)
+    p = phys(fuzzy_decontaminate(corp, bench, n=3, threshold=0.5))
+    assert p.count("BroadcastHashJoin") >= 2, "bench side must broadcast"
+    assert "Window" not in p and "CartesianProduct" not in p
