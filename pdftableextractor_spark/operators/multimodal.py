@@ -2,10 +2,12 @@
 with typed metadata.
 
 PNG images decode to GENUINE pixels with a pure-stdlib codec (``decode_png``:
-zlib inflate + scanline unfilter — no PIL needed); audio/video and non-PNG
-images remain STUBBED (deterministic fake features behind ``decode_stub``;
-a real deployment swaps the ``NotImplementedError``-guarded branches of
-``real_decode`` for soundfile/ffmpeg). Everything Spark-side is real and
+zlib inflate + scanline unfilter — no PIL needed) and RIFF/WAVE PCM audio
+decodes to GENUINE samples (``decode_wav``: the stdlib ``wave`` module —
+no soundfile needed); video and other formats remain STUBBED
+(deterministic fake features behind ``decode_stub``; a real deployment
+swaps the ``NotImplementedError``-guarded branch of ``real_decode`` for
+ffmpeg). Everything Spark-side is real and
 tested either way: the binary schema, Arrow batch shape through
 ``mapInPandas``, partition-size control for fat binary rows, and the
 metadata join-back.
@@ -260,6 +262,84 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px
 
 
+WAV_SIG = b"RIFF"
+# decode cap: 64 MiB of raw PCM (~6 min of 16-bit stereo at 44.1 kHz)
+WAV_BYTES_MAX = 1 << 26
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-stdlib WAV (RIFF PCM) decode via the ``wave`` module: 8/16/24/
+    32-bit PCM, any channel count, non-compressed only (the module raises
+    on compressed forms — exactly the honest boundary we want). Returns
+    (samples float32 in [-1, 1] shaped (n_frames, channels), framerate).
+    The header's frame count is attacker-controlled, so the allocation is
+    bounded BEFORE reading frames — the audio analog of PNG_AREA_MAX."""
+    import io
+    import wave
+
+    if payload[:4] != WAV_SIG or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    with wave.open(io.BytesIO(payload)) as w:
+        nch, sw, fr, nf = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        if nch < 1 or sw not in (1, 2, 3, 4) or fr < 1:
+            raise ValueError("malformed WAV header")
+        if nf * nch * sw > WAV_BYTES_MAX:
+            raise ValueError(
+                f"WAV size {nf}x{nch}x{sw} exceeds the decode bound "
+                f"({nf * nch * sw} > {WAV_BYTES_MAX} bytes)"
+            )
+        raw = w.readframes(nf)
+    got = len(raw) // (nch * sw)
+    raw = raw[: got * nch * sw]
+    if sw == 1:  # unsigned 8-bit
+        sig = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+    elif sw == 2:  # int16 LE
+        sig = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 3:  # 24-bit LE: widen to int32 via a zero pad byte
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        w32 = np.zeros((b.shape[0], 4), dtype=np.uint8)
+        w32[:, 1:] = b
+        sig = (
+            w32.view("<i4").reshape(-1).astype(np.float32) / 2147483648.0
+        )
+    else:  # int32 LE
+        sig = (
+            np.frombuffer(raw, dtype="<i4").astype(np.float32)
+            / 2147483648.0
+        )
+    return sig.reshape(-1, nch), fr
+
+
+def audio_features(sig: np.ndarray, framerate: int) -> np.ndarray:
+    """FEAT_DIM floats from genuine PCM samples: duration, RMS, mean |x|,
+    zero-crossing rate, peak, channel-mean spread, channels, rate — all
+    normalized into [0, 1]."""
+    mono = sig.mean(axis=1) if sig.shape[1] > 1 else sig[:, 0]
+    n = max(len(mono), 1)
+    zcr = float(np.count_nonzero(np.diff(np.signbit(mono)))) / n
+    spread = float(np.abs(sig.mean(axis=0)).std()) if sig.shape[1] > 1 else 0.0
+    return np.asarray(
+        [
+            min(n / float(framerate) / 3600.0, 1.0),   # duration (h, capped)
+            min(float(np.sqrt(np.mean(mono**2))), 1.0),  # rms
+            min(float(np.abs(mono).mean()), 1.0),
+            min(zcr, 1.0),
+            min(float(np.abs(mono).max(initial=0.0)), 1.0),
+            min(spread, 1.0),
+            min(sig.shape[1] / 8.0, 1.0),
+            min(framerate / 96000.0, 1.0),
+        ],
+        dtype=np.float32,
+    )
+
+
 def image_features(px: np.ndarray) -> np.ndarray:
     """FEAT_DIM floats from genuine pixels: global mean/std, first-3-channel
     means (greyscale repeats channel 0), and normalized shape."""
@@ -282,12 +362,15 @@ def image_features(px: np.ndarray) -> np.ndarray:
 
 
 def real_decode(payload: bytes, kind: str):
-    """Real decode where a pure-stdlib codec exists: 8-bit PNG images via
-    decode_png (zlib). Audio/video (and non-PNG images) remain
-    NotImplementedError-guarded — the container has no soundfile/ffmpeg;
-    swap this branch for the real codecs in production."""
+    """Real decode where a pure-stdlib codec exists: PNG images via
+    decode_png (zlib) and RIFF/WAVE PCM audio via decode_wav (wave).
+    Video (and other image/audio formats) remains
+    NotImplementedError-guarded — the container has no ffmpeg; swap this
+    branch for the real codecs in production."""
     if kind == "image" and payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if kind == "audio" and payload[:4] == WAV_SIG:
+        return decode_wav(payload)
     raise NotImplementedError(
         "media codecs unavailable in this environment; use decode_stub"
     )
@@ -316,6 +399,11 @@ def _decode_one(payload: bytes, kind: str) -> np.ndarray:
         except Exception:
             # any malformed byte stream (struct/zlib/bounds/ValueError/
             # NotImplementedError) — degrade, never crash the task
+            return decode_stub(payload, kind)
+    if kind == "audio" and payload[:4] == WAV_SIG:
+        try:
+            return audio_features(*decode_wav(payload))
+        except Exception:
             return decode_stub(payload, kind)
     return decode_stub(payload, kind)
 

@@ -666,3 +666,107 @@ def test_fuzzy_decontaminate_graded_vs_exact(spark):
         for r in ngram_decontaminate(docs, bench, n=3).collect()
     }
     assert exact == {"t3"}, "exact rule kills any shared trigram"
+
+
+def _make_wav(nch=2, sw=2, fr=8000, nframes=800):
+    """Synthesize a deterministic PCM WAV via the stdlib writer."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    t = np.arange(nframes)
+    sig = (np.sin(2 * np.pi * 440 * t / fr) * 0.5 * (2 ** (8 * sw - 1) - 1))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(sw)
+        w.setframerate(fr)
+        frames = bytearray()
+        for v in sig.astype(np.int64):
+            for _ in range(nch):
+                frames += int(v).to_bytes(sw, "little", signed=(sw != 1))
+        w.writeframes(bytes(frames))
+    return buf.getvalue(), sig
+
+
+def test_wav_decode_real_samples():
+    """decode_wav reproduces the written PCM samples for 16-bit stereo and
+    8-bit mono; audio_features are in [0,1] and reflect the signal."""
+    import numpy as np
+
+    from pdftableextractor_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+    )
+
+    payload, sig = _make_wav(nch=2, sw=2, fr=8000, nframes=800)
+    got, fr = decode_wav(payload)
+    assert fr == 8000 and got.shape == (800, 2)
+    exp = sig.astype(np.int64).astype(np.float32) / 32768.0
+    assert np.allclose(got[:, 0], exp, atol=1e-6)
+    assert np.allclose(got[:, 1], exp, atol=1e-6)
+
+    feats = audio_features(got, fr)
+    assert feats.shape == (8,) and all(0.0 <= f <= 1.0 for f in feats)
+    # a 0.5-amplitude sine has rms ~0.35 and nonzero zero-crossing rate
+    assert 0.2 < feats[1] < 0.5 and feats[3] > 0.05
+
+    # 8-bit mono path
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(4000)
+        w.writeframes(bytes([128, 255, 0, 128]))
+    got8, _ = decode_wav(buf.getvalue())
+    assert np.allclose(
+        got8[:, 0], [(128 - 128) / 128, 127 / 128, -1.0, 0.0], atol=1e-6
+    )
+
+
+def test_wav_hostile_header_bounded_and_kernel_route(spark):
+    """A WAV header claiming 2^31 frames must be rejected BEFORE any
+    allocation; through the Arrow kernel a real WAV featurizes from
+    genuine samples while a non-RIFF audio payload keeps the stub."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pdftableextractor_spark.operators.multimodal import (
+        audio_features,
+        decode_stub,
+        decode_wav,
+        extract_features,
+    )
+
+    payload, _ = _make_wav()
+    # forge the nframes in the data-chunk size field of a minimal header
+    hostile = bytearray(payload)
+    # wave stores nframes via data chunk length; rewrite it huge
+    idx = bytes(hostile).find(b"data") + 4
+    hostile[idx : idx + 4] = struct.pack("<I", 0xFFFFFFF0)
+    with _pytest.raises(ValueError, match="decode bound"):
+        decode_wav(bytes(hostile))
+
+    assets = spark.createDataFrame(
+        [
+            ("a1", "audio", bytearray(payload)),
+            ("a2", "audio", bytearray(b"not riff at all")),
+        ],
+        "asset_id string, kind string, payload binary",
+    )
+    feats = {
+        r["asset_id"]: np.array(r["feat"], dtype=np.float32)
+        for r in extract_features(assets).collect()
+    }
+    sig, fr = decode_wav(payload)
+    assert np.allclose(feats["a1"], audio_features(sig, fr), atol=1e-6)
+    assert np.allclose(
+        feats["a2"], decode_stub(b"not riff at all", "audio"), atol=1e-6
+    )
