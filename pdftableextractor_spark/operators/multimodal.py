@@ -321,6 +321,11 @@ def audio_features(sig: np.ndarray, framerate: int) -> np.ndarray:
     """FEAT_DIM floats from genuine PCM samples: duration, RMS, mean |x|,
     zero-crossing rate, peak, channel-mean spread, channels, rate — all
     normalized into [0, 1]."""
+    if sig.shape[0] == 0:
+        # a valid-but-empty WAV (0 frames) must yield finite features —
+        # empty-array means produce NaN, which the exception-based stub
+        # degrade would never catch
+        return np.zeros(FEAT_DIM, dtype=np.float32)
     mono = sig.mean(axis=1) if sig.shape[1] > 1 else sig[:, 0]
     n = max(len(mono), 1)
     zcr = float(np.count_nonzero(np.diff(np.signbit(mono)))) / n

@@ -770,3 +770,28 @@ def test_wav_hostile_header_bounded_and_kernel_route(spark):
     assert np.allclose(
         feats["a2"], decode_stub(b"not riff at all", "audio"), atol=1e-6
     )
+
+
+def test_wav_zero_frames_finite_features():
+    """A structurally valid 0-frame WAV must produce finite (all-zero)
+    features, never NaN (empty-array means)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from pdftableextractor_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"")
+    sig, fr = decode_wav(buf.getvalue())
+    assert sig.shape == (0, 1)
+    feats = audio_features(sig, fr)
+    assert np.isfinite(feats).all() and (feats == 0).all()
