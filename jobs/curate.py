@@ -130,6 +130,15 @@ def main() -> None:
     p.add_argument("--shard-tokens", type=int, default=500_000)
     p.add_argument("--master", default=None)
     args = p.parse_args()
+    if args.fuzzy_decontam is not None:
+        if not (0.0 < args.fuzzy_decontam <= 1.0):
+            p.error(
+                f"--fuzzy-decontam must be in (0, 1], got "
+                f"{args.fuzzy_decontam} (it is a containment FRACTION, "
+                "not a percentage)"
+            )
+        if not args.benchmark:
+            p.error("--fuzzy-decontam requires --benchmark")
 
     from pyspark.sql import functions as F
 

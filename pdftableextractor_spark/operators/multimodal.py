@@ -369,6 +369,9 @@ def image_features(px: np.ndarray) -> np.ndarray:
 def real_decode(payload: bytes, kind: str):
     """Real decode where a pure-stdlib codec exists: PNG images via
     decode_png (zlib) and RIFF/WAVE PCM audio via decode_wav (wave).
+    The return shape is KIND-SPECIFIC: image -> (h, w, channels) uint8
+    pixel array; audio -> (samples float32 (n_frames, channels),
+    framerate int) tuple — callers dispatch on the kind they passed.
     Video (and other image/audio formats) remains
     NotImplementedError-guarded — the container has no ffmpeg; swap this
     branch for the real codecs in production."""

@@ -669,9 +669,10 @@ def test_fuzzy_decontaminate_graded_vs_exact(spark):
 
 
 def _make_wav(nch=2, sw=2, fr=8000, nframes=800):
-    """Synthesize a deterministic PCM WAV via the stdlib writer."""
+    """Synthesize a deterministic PCM WAV via the stdlib writer. 8-bit WAV
+    is offset-128 unsigned (the helper applies the offset); wider widths
+    are signed little-endian."""
     import io
-    import struct
     import wave
 
     import numpy as np
@@ -685,8 +686,9 @@ def _make_wav(nch=2, sw=2, fr=8000, nframes=800):
         w.setframerate(fr)
         frames = bytearray()
         for v in sig.astype(np.int64):
+            raw = int(v) + 128 if sw == 1 else int(v)
             for _ in range(nch):
-                frames += int(v).to_bytes(sw, "little", signed=(sw != 1))
+                frames += raw.to_bytes(sw, "little", signed=(sw != 1))
         w.writeframes(bytes(frames))
     return buf.getvalue(), sig
 
@@ -707,6 +709,20 @@ def test_wav_decode_real_samples():
     exp = sig.astype(np.int64).astype(np.float32) / 32768.0
     assert np.allclose(got[:, 0], exp, atol=1e-6)
     assert np.allclose(got[:, 1], exp, atol=1e-6)
+
+    # width matrix through the same helper: 8-bit offset-128 and 32-bit
+    p8, s8 = _make_wav(nch=1, sw=1, fr=4000, nframes=64)
+    g8, _ = decode_wav(p8)
+    assert np.allclose(
+        g8[:, 0], s8.astype(np.int64).astype(np.float32) / 128.0, atol=1e-6
+    )
+    p32, s32 = _make_wav(nch=1, sw=4, fr=4000, nframes=64)
+    g32, _ = decode_wav(p32)
+    assert np.allclose(
+        g32[:, 0],
+        s32.astype(np.int64).astype(np.float32) / 2147483648.0,
+        atol=1e-9,
+    )
 
     feats = audio_features(got, fr)
     assert feats.shape == (8,) and all(0.0 <= f <= 1.0 for f in feats)
