@@ -625,9 +625,13 @@ def test_connected_components_path_and_transitive(spark):
     pairs = spark.createDataFrame(
         path + [("a", "c"), ("b", "c")], ["doc_a", "doc_b"]
     )
+    # threshold=0 forces the DISTRIBUTED star-contraction path — the chain
+    # graph is exactly the O(log n)-rounds case this test exists to pin
     out = {
         r["node"]: r["component"]
-        for r in connected_components(pairs).collect()
+        for r in connected_components(
+            pairs, small_graph_threshold=0
+        ).collect()
     }
     assert all(out[f"{i:03d}"] == "000" for i in range(64))
     assert out["a"] == out["b"] == out["c"] == "a"

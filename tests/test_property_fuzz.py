@@ -171,11 +171,18 @@ def test_connected_components_matches_union_find(spark, edges):
     exp = {x: find(x) for x in parent}
 
     df = spark.createDataFrame(real, ["doc_a", "doc_b"])
+    # BOTH execution paths must match: the driver union-find fast path
+    # (default threshold) and the distributed star contraction (forced)
     got = {
         r["node"]: r["component"]
         for r in connected_components(df).collect()
     }
     assert got == exp
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, small_graph_threshold=0).collect()
+    }
+    assert got_dist == exp
 
 
 @settings(max_examples=10, deadline=None)
