@@ -2406,8 +2406,8 @@ WITH t AS (
   WHERE cumc * 1000000 > n * 200000 GROUP BY source
 )
 SELECT q.doc_id, q.source, q.quality
-FROM q JOIN thr USING (source)
-WHERE q.quality >= thr.t
+FROM q LEFT JOIN thr ON q.source IS NOT DISTINCT FROM thr.source
+WHERE thr.t IS NULL OR q.quality >= thr.t
 """
 
     # cross-document repeated 4-gram spans: zipped range-unnest positions +
@@ -2474,7 +2474,7 @@ WITH toks AS (
   -- (lower() never touches whitespace, so positions align)
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          list_filter({_WORDS}, x -> x <> '') AS tk,
-         list_filter(string_split_regex(trim(text), '\s+'),
+         list_filter(string_split_regex(trim(text), '\\s+'),
                      x -> x <> '') AS tko
   FROM documents
 ), g0 AS (

@@ -184,14 +184,22 @@ def decode_png(payload: bytes) -> np.ndarray:
     # dimensions are attacker-controlled, so cap the allocation BEFORE
     # inflating, and inflate with an output ceiling so a deflate bomb in
     # IDAT can never materialize more than expected+1 bytes
-    # the pixel-count cap closes the sub-byte loophole: a 1-bit image packs
-    # 8 pixels per filtered byte, so bounding bytes alone would let the
-    # unpack stage allocate 8x the byte bound
-    if expected > PNG_AREA_MAX or h * w * samples > PNG_AREA_MAX:
+    # the cap covers the LARGEST allocation on the decode path, not just
+    # the filtered scanlines: the unpackbits intermediate for sub-byte
+    # depths is h*stride*8 bytes (up to depth x the pixel count), and a
+    # palette lookup expands indices to h*w*3 RGB bytes — without these
+    # terms a hostile 1-bit or palette IHDR could allocate several times
+    # the documented 64 MiB bound before the except path caught it
+    out_channels = 3 if ctype == 3 else samples
+    max_alloc = max(
+        expected,
+        h * w * out_channels,
+        h * stride * 8 if depth < 8 else 0,
+    )
+    if max_alloc > PNG_AREA_MAX:
         raise ValueError(
             f"PNG dimensions {w}x{h}x{samples}@{depth} exceed the decode "
-            f"bound ({expected} bytes / {h * w * samples} samples > "
-            f"{PNG_AREA_MAX})"
+            f"bound (peak allocation {max_alloc} bytes > {PNG_AREA_MAX})"
         )
     d = zlib.decompressobj()
     raw = d.decompress(b"".join(idat), expected + 1)

@@ -64,7 +64,7 @@ def pack_shards(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     num_buckets: int | None = None,
-    checkpoint: bool = False,
+    checkpoint: bool | None = None,
 ) -> DataFrame:
     """Assign each document a (group, shard_idx) so that every shard's token
     sum stays ≤ ``budget_tokens`` + one document (the standard greedy
@@ -92,14 +92,25 @@ def pack_shards(
     in both branches (seeded sketch sampling over the same input
     partitions) and the explicit ``num_buckets`` keeps AQE from
     re-coalescing them differently. If the input lineage is NOT
-    deterministic (unseeded sample, rand()-derived columns, un-ordered
-    limit), pass ``checkpoint=True``: the bucketed frame is
-    localCheckpoint-ed so both branches read one materialization instead
-    of re-evaluating — otherwise the branches could disagree on __bkt and
-    the inner offset join would silently mis-shard or drop rows. Costs one
-    extra exchange vs the serial-per-group window — the price of
-    intra-group parallelism. Output adds shard_idx int."""
+    deterministic (rand()-derived columns and similar), the bucketed
+    frame is localCheckpoint-ed so both branches read ONE materialization
+    instead of re-evaluating — otherwise the branches could disagree on
+    __bkt and the inner offset join would silently mis-shard or drop
+    rows. ``checkpoint=None`` (default) AUTO-DETECTS this from the
+    analyzed plan's determinism flag (conservative: a plan carrying any
+    nondeterministic expression checkpoints, even ones like plan-seeded
+    rand() that would in fact re-evaluate identically); ``True`` forces
+    the materialization; ``False`` is an explicit caller override for
+    inputs the detector flags conservatively — silent data loss is on
+    the caller then, which is why the override must be spelled out
+    rather than being the default. Costs one extra exchange vs the
+    serial-per-group window — the price of intra-group parallelism.
+    Output adds shard_idx int."""
     b = num_buckets or docs.sparkSession.sparkContext.defaultParallelism
+    if checkpoint is None:
+        checkpoint = not (
+            docs._jdf.queryExecution().analyzed().deterministic()
+        )
     bucketed = docs.repartitionByRange(
         b, F.col(group_col), F.col(id_col)
     ).withColumn("__bkt", F.spark_partition_id())

@@ -360,11 +360,12 @@ def ivf_topk_indexed(
         stamp_k = int(stamp.split("-", 1)[0][1:])
     except (ValueError, IndexError):
         stamp_k = -1
-    if stamp_k != cents.count():
+    n_cents = cents.count()
+    if stamp_k != n_cents:
         raise ValueError(
             f"IVF index at {path} is inconsistent (torn rebuild?): "
             f"build stamp {stamp!r} does not describe a "
-            f"{cents.count()}-centroid table"
+            f"{n_cents}-centroid table"
         )
     probes = [
         int(r["cell"])

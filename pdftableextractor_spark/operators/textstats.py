@@ -372,6 +372,17 @@ def drop_bottom_percentile(
     No floating-point thresholds anywhere: the comparison is pure bigint,
     so the DuckDB oracle matches bit-for-bit.
 
+    Absence-of-evidence convention (the funnel-wide rule): a row whose
+    stratum has NO threshold row passes un-gated rather than vanishing —
+    that covers NULL strata (joined null-safely, so they gate against
+    their own histogram group like any other stratum), strata whose scores
+    are all NULL (min over NULLs yields no threshold), and the degenerate
+    ``frac >= 1.0`` (the strict rank inequality admits no threshold, so
+    everything passes; use frac just below 1 to keep only the top ties).
+    Rows with a NULL score still drop whenever their stratum has a real
+    threshold (NULL >= t is never true) — a score that failed to compute
+    is bottom-of-stratum by definition.
+
     Shape: one (stratum, score) histogram aggregate (map-side combined —
     the shuffle carries one row per distinct score per stratum), a window
     over that TINY frame, and a broadcast join of one threshold row per
@@ -404,9 +415,13 @@ def drop_bottom_percentile(
     )
     return (
         docs.join(
-            F.broadcast(thr), docs[stratum_col] == thr["__st"], "inner"
+            F.broadcast(thr),
+            docs[stratum_col].eqNullSafe(thr["__st"]),
+            "left",
         )
-        .filter(F.col(score_col) >= F.col("__thr"))
+        .filter(
+            F.col("__thr").isNull() | (F.col(score_col) >= F.col("__thr"))
+        )
         .select(*docs.columns)
     )
 

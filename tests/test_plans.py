@@ -237,10 +237,15 @@ def test_round4_operators_plan_shapes(spark):
         assert "Window" not in p, "gram construction regressed to a window"
         assert "CartesianProduct" not in p
 
+    spark.catalog.clearCache()  # known-clean baseline for the leak assert
     p = phys(containment_pairs(docs, n=3, threshold=0.5))
-    assert "InMemoryTableScan" in p, "shingle persist not in effect"
+    assert "ExistingRDD" in p, "shingle localCheckpoint not in effect"
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    # the materialization must NOT pin a CacheManager entry (the round-4
+    # persist leaked one per call for the session lifetime)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "containment_pairs left a pinned cache entry"
 
     bench = docs.filter(F.col("doc_id").cast("bigint") % 20 == 0)
     corp = docs.filter(F.col("doc_id").cast("bigint") % 20 != 0)

@@ -395,6 +395,48 @@ def test_drop_bottom_percentile_threshold_and_ties(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_drop_bottom_percentile_null_stratum_and_absence(spark):
+    """NULL strata are a real stratum (null-safe join), gated against
+    their own histogram; rows whose stratum has NO threshold (all-NULL
+    scores, or frac=1.0's empty threshold frame) pass un-gated instead of
+    silently vanishing; NULL scores drop when a real threshold exists."""
+    from pdftableextractor_spark.operators.textstats import (
+        drop_bottom_percentile,
+    )
+
+    rows = (
+        [(f"n{i}", None, float(i)) for i in range(10)]  # NULL stratum
+        + [("x0", "s1", None), ("x1", "s1", 5.0), ("x2", "s1", 9.0)]
+        + [("y0", "s2", None), ("y1", "s2", None)]  # all-NULL scores
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id string, source string, quality double"
+    )
+    got = {
+        r["doc_id"]
+        for r in drop_bottom_percentile(
+            docs, 0.3, "quality", "source"
+        ).collect()
+    }
+    # NULL stratum gates like any other: drop scores 0,1,2 of its 10
+    assert {f"n{i}" for i in range(10)} & got == {
+        f"n{i}" for i in range(3, 10)
+    }
+    # s1 has a real threshold -> the NULL score drops, reals gate normally
+    assert "x0" not in got and "x2" in got
+    # s2's scores are all NULL -> no threshold -> rows pass un-gated
+    assert {"y0", "y1"} <= got
+    # frac=1.0: strict rank inequality admits no threshold -> all pass
+    all_ids = {r["doc_id"] for r in docs.collect()}
+    kept = {
+        r["doc_id"]
+        for r in drop_bottom_percentile(
+            docs, 1.0, "quality", "source"
+        ).collect()
+    }
+    assert kept == all_ids
+
+
 def test_duplicate_ngram_spans_hand_example(spark):
     """Exact span positions for a planted shared 3-gram; unique text never
     reported; within-doc-only repetition is excluded by min_docs."""
@@ -475,6 +517,42 @@ def test_png_sub_byte_pixel_bound():
     )
     with pytest.raises(ValueError, match="exceed the decode bound"):
         decode_png(png)
+
+
+def test_png_bound_covers_palette_and_unpack_intermediates():
+    """The 64 MiB cap must bound the PEAK allocation, not just the
+    filtered scanlines: a palette PNG expands indices to h*w*3 RGB bytes,
+    and a depth-4 image's unpackbits intermediate is ~4x the pixel count.
+    Both hostile headers fit the old pixel/byte checks yet exceed the cap
+    at their true peak — they must raise before any large allocation."""
+    import struct
+
+    from pdftableextractor_spark.operators.multimodal import (
+        PNG_AREA_MAX,
+        decode_png,
+    )
+
+    def header_only(w, h, depth, ctype, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
+        )
+        if plte is not None:
+            png += struct.pack(">I", len(plte)) + b"PLTE" + plte + b"\x00" * 4
+        return png
+
+    # palette: h*w = 25M pixels <= cap, but the RGB expansion is 75M > cap
+    with pytest.raises(ValueError, match="exceed the decode bound"):
+        decode_png(header_only(5000, 5000, 8, 3, plte=b"\x00" * 9))
+    # depth-4 grey: h*w = 50M <= cap, unpackbits intermediate ~200M > cap
+    with pytest.raises(ValueError, match="exceed the decode bound"):
+        decode_png(header_only(10000, 5000, 4, 0))
+    # sanity: a small palette image of the same shapes still decodes
+    raw = b"".join(b"\x00" + bytes([0, 1]) for _ in range(2))
+    got = decode_png(_png_chunks((2, 2, 8, 3, 0, 0, 0),
+                                 [(b"PLTE", bytes(range(6)))], raw))
+    assert got.shape == (2, 2, 3)
 
 
 def test_containment_pairs_finds_what_jaccard_misses(spark):
@@ -631,6 +709,36 @@ def test_pack_shards_checkpoint_with_nondeterministic_lineage(spark):
     for d, t, idx in rows:
         assert idx == cum // 9_000, f"{d}: {idx} != {cum // 9000}"
         cum += t
+
+
+def test_pack_shards_auto_checkpoints_nondeterministic_lineage(spark):
+    """checkpoint=None (the default) must auto-materialize when the input
+    plan carries a nondeterministic expression — the silent mis-shard
+    failure mode needed an explicit checkpoint=True before — and must NOT
+    pay the materialization for a deterministic lineage."""
+    from pdftableextractor_spark.operators.sampling import pack_shards
+
+    base = spark.range(500).select(
+        F.format_string("d%04d", F.col("id")).alias("doc_id"),
+        F.lit("g").alias("source"),
+        (50 + (F.col("id") * 13) % 200).cast("bigint").alias("n_tokens"),
+    )
+    nd = base.withColumn("r", F.rand()).filter(F.col("r") >= -1).drop("r")
+    out = pack_shards(nd, budget_tokens=9_000, num_buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, "nondeterministic input not checkpointed"
+    rows = sorted(
+        (r["doc_id"], r["n_tokens"], r["shard_idx"]) for r in out.collect()
+    )
+    cum = 0
+    for d, t, idx in rows:
+        assert idx == cum // 9_000
+        cum += t
+    det_plan = (
+        pack_shards(base, budget_tokens=9_000, num_buckets=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ExistingRDD" not in det_plan, "deterministic input checkpointed"
 
 
 def test_fuzzy_decontaminate_graded_vs_exact(spark):
