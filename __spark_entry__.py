@@ -63,6 +63,7 @@ from pdftableextractor_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
     kmeans_cells,
+    knn_join,
     lsh_topk,
 )
 from pdftableextractor_spark.operators.structure import (
@@ -118,22 +119,34 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 # subsumed-by or strictly simpler than an in-window query and driver-green in
 # a previous round — they still run in the per-session sf0.001 preflight
 DRIVER_TAIL = [
-    "q04_line_numbering",
-    "q09_top1_per_group",
-    "q10_topk_per_group",
-    "q22_ngram_jaccard",
-    "q12_grid_pivot",
-    "q21_simhash_pairs",
-    "q54_temperature_mix",
-    "q05_context_window",
-    "q19_minhash_sig",
+    # round-5 rotation: 8 of the round-4 tail (q04/q05/q09/q10/q12/q19/
+    # q22/q24) are back inside the window this round; these 8 stay out one
+    # more round and rotate back next round
     "q20_simhash",
-    "q24_cosine_topk",
+    "q21_simhash_pairs",
     "q26_token_count",
     "q29_fingerprint",
     "q43_line_doc_freq",
+    "q54_temperature_mix",
     "q56_corpus_stats",
     "q57_vocab_topk",
+    # demoted this round to make room (each r4-driver-green, stable since
+    # r2/r3, and subsumed by an in-window query): q01-q03/q06 are the
+    # normalize/length/footnote/dedup ingredients the q16/q36/q37/q38
+    # pipeline queries re-exercise end-to-end; q18 exact dedup ⊂ q55's
+    # incremental store + the curate funnel; q23 labeled near-dups ⊂ q48's
+    # unlabeled variant (same kernel + blocking); q27 quality_score is
+    # composed directly by in-window q61; q28 lang-id and q45 PII are
+    # single-pass expression maps pinned by pytest + the curate funnel
+    "q01_normalize_lines",
+    "q02_substantial_filter",
+    "q03_footnote_flags",
+    "q06_dedup_first_wins",
+    "q18_exact_dedup",
+    "q23_embedding_near_dups",
+    "q27_quality_score",
+    "q28_lang_id",
+    "q45_redact_pii",
 ]
 
 
@@ -917,6 +930,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q66_fuzzy_decontaminate"] = q66
 
+    # distributed k-NN join in EXACT mode (n_probe=None probes every
+    # cell, so the result is the blocked brute force — independent of the
+    # k-means fit); the approximate path is pinned by the recall test
+    q["q67_knn_join"] = lambda s, d: knn_join(
+        _t(s, d, "embeddings").select("vec_id", "embedding"),
+        k=3, n_cells=8, n_probe=None, iters=2,
+    )
+
     # ------------------------------------------------------------------
     # driver-window ordering: the correctness driver verifies only the
     # FIRST 50 dict entries, so dict order is a verification-coverage
@@ -924,15 +945,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every query whose engine code or oracle changed this round MUST sit
     # inside the window; (b) the tail holds only queries that are
     # subsumed-by or strictly simpler than an in-window query AND were
-    # driver-green last round (q04/q05 window warm-ups ⊂ q16; q12 ⊂ q17's
-    # full grid pivot; q19 minhash sigs ⊂ q55's full banding; q20/q21
-    # simhash ⊂ q47 multiband; q24 brute cosine = the q25/q35 baseline,
-    # pinned by recall tests; q09/q10 top-1/rank-k windows ⊂ q16's
-    # max_by argmax scorer (O3) + pytest;
-    # q22 exact-Jaccard ⊂ q64's exact shingle
-    # intersections + q55's banding; q26/q29 single-expression maps; q43 ⊂ q44;
-    # q54 composes q50's hash machinery; q56/q57 two-level aggs pinned by
-    # pytest). Every tail query still runs in the sf0.001 preflight
+    # driver-green in a previous round (per-entry justifications sit on
+    # DRIVER_TAIL itself); (c) the tail ROTATES — each round swaps ~half
+    # of the previous tail back into the window in place of now-stable
+    # queries, so no query's external driver row goes more than ~one
+    # round stale. Every tail query still runs in the sf0.001 preflight
     # (tests/test_driver_oracles.py) each session.
     assert set(DRIVER_TAIL) <= set(q), sorted(set(DRIVER_TAIL) - set(q))
     head = {k: v for k, v in q.items() if k not in DRIVER_TAIL}
@@ -2535,6 +2552,25 @@ WITH corp AS (
   WHERE h.inter * 1000000 >= 500000 * bsz.bsz
 )
 SELECT doc_id FROM corp ANTI JOIN bad USING (doc_id)
+"""
+
+    # q67 exact k-NN join: brute-force all-pairs cosine + row_number —
+    # the engine's exact mode (probe every cell) must reproduce this
+    # bit-for-bit; ranking ties break on (rounded cos DESC, vec_id)
+    o["q67_knn_join"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), p AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vec_id) AS rnk
+  FROM p
+)
+SELECT qid, vec_id, cos, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
 """
 
     # add-one bigram LM mean-transition score; both roundings (per-position

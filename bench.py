@@ -73,7 +73,10 @@ def build_queries(spark, sf_dir: str, synth_path: str):
         extract_frames,
         extract_spans,
     )
-    from pdftableextractor_spark.operators.similarity import cosine_topk
+    from pdftableextractor_spark.operators.similarity import (
+        cosine_topk,
+        knn_join,
+    )
     from pdftableextractor_spark.operators.structure import (
         all_data_points,
         dedup_first_wins,
@@ -227,6 +230,14 @@ def build_queries(spark, sf_dir: str, synth_path: str):
         ),
         "mask_spans": lambda: _materialize(
             entry.queries()["q65_mask_spans"](spark, sf_dir)
+        ),
+        # round-5: distributed k-NN join, benched on its APPROXIMATE
+        # (n_probe=2) scale path — the q67 driver entry runs exact mode
+        "knn_join": lambda: _materialize(
+            knn_join(
+                emb.select("vec_id", "embedding"),
+                k=5, n_cells=16, n_probe=2, iters=3,
+            )
         ),
     }
 

@@ -174,6 +174,85 @@ def nearest_centroids_udf(centroids, n_probe: int):
     return k
 
 
+def _half_up_round6(a: np.ndarray) -> np.ndarray:
+    """Scaled HALF_UP 6-digit rounding (sign-aware), matching what Spark's
+    F.round and DuckDB's round() both produce on non-adversarial doubles —
+    np.round would use banker's rounding and disagree on exact .5e-6
+    boundaries. Used only to RANK candidates inside the kernel; the emitted
+    cosine column is rounded engine-side with F.round so the driver's
+    value hash always sees Spark's own rounding."""
+    return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
+
+def knn_block_kernel(k: int):
+    """cogroup applyInPandas kernel for the distributed k-NN join: one
+    k-means cell per group, ``left`` = the queries probing this cell
+    (qid, qemb), ``right`` = the vectors ASSIGNED to this cell
+    (vec_id, embedding). Emits each query's top-``k`` candidates within
+    the cell as (qid, vec_id, cos); the global per-query reduce across
+    probed cells happens engine-side (window-free agg).
+
+    Shape: the cell's vectors form ONE (n_d × dim) matrix; queries stream
+    through in blocks of 1024, each block one BLAS matmul → (1024 × n_d)
+    similarities — peak memory is O(block × cell_size + cell_size × dim),
+    never O(cell²). Ranking is a row-wise STABLE argsort on the
+    half-up-rounded similarity with the cell pre-sorted by vec_id, so ties
+    break to the smaller vec_id exactly like the oracle's
+    row_number(ORDER BY cos DESC, vec_id). Self-pairs are masked to -inf
+    before the sort. Zero-norm vectors get norm 1 (cos 0) rather than
+    NaN-poisoning the block."""
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "qid": left["qid"].iloc[:0],
+                "vec_id": right["vec_id"].iloc[:0],
+                "cos": pd.Series(np.empty(0, dtype=np.float64)),
+            }
+        )
+        if not len(left) or not len(right):
+            return empty
+        # pre-sort the cell by vec_id: a stable argsort then breaks rank
+        # ties to the smaller id with no per-row lexsort
+        right = right.sort_values("vec_id", kind="stable")
+        d = _matrix(right["embedding"])
+        dn = np.sqrt(np.einsum("ij,ij->i", d, d))
+        dn[dn == 0.0] = 1.0
+        dn_mat = d / dn[:, None]
+        dids = right["vec_id"].to_numpy()
+        q = _matrix(left["qemb"])
+        qn = np.sqrt(np.einsum("ij,ij->i", q, q))
+        qn[qn == 0.0] = 1.0
+        qids = left["qid"].to_numpy()
+        out_q, out_d, out_c = [], [], []
+        # k+1 columns: if the query's own vector lives in this cell its
+        # masked self occupies one slot, and the k-th real candidate must
+        # still make the slice
+        kk = min(k + 1, len(dids))
+        for i0 in range(0, len(q), 1024):
+            qb = q[i0 : i0 + 1024] / qn[i0 : i0 + 1024, None]
+            qb_ids = qids[i0 : i0 + 1024]
+            sims = qb @ dn_mat.T
+            r6 = _half_up_round6(sims)
+            r6[dids[None, :] == qb_ids[:, None]] = -np.inf  # self
+            order = np.argsort(-r6, axis=1, kind="stable")[:, :kk]
+            rows = np.arange(order.shape[0])[:, None]
+            valid = np.isfinite(r6[rows, order])  # drop masked selves
+            keep = (valid & (np.cumsum(valid, axis=1) <= k)).ravel()
+            out_q.append(np.repeat(qb_ids, kk)[keep])
+            out_d.append(dids[order].ravel()[keep])
+            out_c.append(sims[rows, order].ravel()[keep])
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_d),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    return fn
+
+
 def lsh_multi_match_udf(planes_list, query_vec):
     """UDF: True iff the row's sign bucket equals the query's bucket in ANY
     of the hyperplane tables — the multi-table LSH candidate predicate.

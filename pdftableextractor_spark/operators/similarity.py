@@ -255,6 +255,116 @@ def ivf_topk(
     )
 
 
+def knn_join(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int | None = 2,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 9,
+) -> DataFrame:
+    """Distributed k-NN JOIN: every vector's top-``k`` cosine neighbors in
+    ONE job — the SemDeDup-style semantic-dedup / clustering primitive
+    (``ivf_topk`` answers one query vector; ``embedding_near_dups`` gives
+    threshold pairs; this gives the full neighbor lists a semantic-dedup
+    or kNN-graph pass actually consumes).
+
+    Output: (qid, vec_id, cos, rnk) with rnk 1..k ranked by
+    (cos rounded to 6 desc, vec_id asc) — row_number semantics, ties
+    deterministic.
+
+    Shape (never all-pairs, never a cartesian):
+      1. fit ``n_cells`` k-means centroids once (Lloyd, Arrow kernels —
+         only k×dim doubles ever reach the driver);
+      2. DATA side: each vector assigned to its single nearest cell;
+         QUERY side: each vector exploded to its ``n_probe`` nearest
+         cells (multi-probe — a query near a cell boundary still finds
+         neighbors across it);
+      3. cogroup both sides on cell → ``knn_block_kernel``: per cell one
+         (block × cell_size) BLAS matmul, per-query top-k within the
+         cell (stable-sort tie-break to smaller vec_id);
+      4. global per-query reduce over the ≤ n_probe·k candidates:
+         window-free — collect_list + array_sort + slice (no global sort,
+         no Window; the frame is n·n_probe·k rows of ids+doubles).
+
+    ``n_probe=None`` (or >= n_cells) probes EVERY cell — the blocked
+    brute-force EXACT mode, independent of the k-means fit quality; this
+    is the oracle-parity path. Smaller n_probe is the 100 TB path:
+    per-query work drops to n_probe cells, recall is governed by the fit
+    (see the recall test). At scale pick n_cells ~ corpus/target so a
+    cell's (cell_size × dim) matrix fits an executor comfortably — the
+    kernel's peak is O(1024·cell_size + cell_size·dim), flat in corpus
+    size; a pathological k-means collapse concentrates cells, so very
+    skewed corpora should raise iters or n_cells (the fit, not the join,
+    is the lever).
+
+    A 64-dim embedding at 10^12 docs with n_cells=10^6: cells ~10^6 rows
+    × 64 × 8 B ≈ 0.5 GB per task — sized for a 4 GB executor; the only
+    corpus-scale shuffles are the two cell-keyed cogroups (1 + n_probe
+    copies of the vectors)."""
+    from pdftableextractor_spark.kernels.vectors import (
+        knn_block_kernel,
+        nearest_centroid_udf,
+        nearest_centroids_udf,
+    )
+
+    if n_probe is None:
+        n_probe = n_cells
+    n_probe = min(n_probe, n_cells)
+    cents = kmeans_centroids(
+        embeddings, k=n_cells, iters=iters, id_col=id_col, seed=seed
+    )
+    idt = dict(embeddings.dtypes)[id_col]
+    data = embeddings.select(
+        nearest_centroid_udf(cents)(F.col(emb_col)).alias("cell"),
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("embedding"),
+    )
+    qry = embeddings.select(
+        F.col(id_col).alias("qid"),
+        F.col(emb_col).alias("qemb"),
+        F.explode(
+            nearest_centroids_udf(cents, n_probe)(F.col(emb_col))
+        ).alias("cell"),
+    )
+    # a (qid, vec_id) pair meets in at most ONE cell (the data side is
+    # single-assigned; the probe cells are distinct), so no dedup needed
+    cand = (
+        qry.groupBy("cell")
+        .cogroup(data.groupBy("cell"))
+        .applyInPandas(
+            knn_block_kernel(k),
+            schema=f"qid {idt}, vec_id {idt}, cos double",
+        )
+    )
+    r6 = F.round(F.col("cos"), 6)
+    top = cand.groupBy("qid").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-r6).alias("nc"),
+                        F.col("vec_id").alias("v"),
+                        F.col("cos").alias("c"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    return top.select(
+        "qid", F.posexplode("top").alias("pos", "t")
+    ).select(
+        "qid",
+        F.col("t.v").alias("vec_id"),
+        F.round(F.col("t.c"), 6).alias("cos"),
+        (F.col("pos") + 1).cast("int").alias("rnk"),
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,
