@@ -4,13 +4,22 @@
     spark-submit --py-files engine.zip jobs/ann.py build \
         --input /root/testdata/sf0.1 --index /tmp/ivf --k 64
 
-    # query many
+    # query many (one vector per invocation)
     spark-submit --py-files engine.zip jobs/ann.py query \
         --input /root/testdata/sf0.1 --index /tmp/ivf \
         --query-id 0 --topk 10 --nprobe 4
 
+    # batch: a whole table of query vectors in ONE distributed job
+    spark-submit --py-files engine.zip jobs/ann.py query \
+        --input /root/testdata/sf0.1 --index /tmp/ivf \
+        --query-table /root/testdata/sf0.1/embeddings.parquet \
+        --output /tmp/knn --topk 10 --nprobe 4
+
 (query needs --input too: the query VECTOR is fetched from the embeddings
-table by --query-id; only the candidate scan is served from the index.)
+table by --query-id; only the candidate scan is served from the index.
+--query-table skips that and streams the given (vec_id, embedding) table
+through ivf_topk_indexed_batch — the cogrouped knn_join kernel pointed at
+the persisted, partition-pruned index.)
 
 build fits k-means (Arrow assignment + partial-sum centroid kernels) and
 persists centroids plus cell-partitioned vectors through the storage-format
@@ -41,6 +50,15 @@ def main() -> None:
     q.add_argument("--index", required=True)
     q.add_argument("--input", required=True, help="dir with embeddings.parquet")
     q.add_argument("--query-id", type=int, default=0)
+    q.add_argument(
+        "--query-table",
+        default=None,
+        help="parquet of (vec_id, embedding) query vectors: answer the "
+        "WHOLE table in one distributed job (ivf_topk_indexed_batch) "
+        "and write (qid, vec_id, cos, rnk) to --output instead of "
+        "printing per-hit JSON",
+    )
+    q.add_argument("--output", default=None, help="output dir for --query-table")
     q.add_argument("--topk", type=int, default=10)
     q.add_argument("--nprobe", type=int, default=2)
     q.add_argument("--master", default=None)
@@ -71,6 +89,34 @@ def main() -> None:
                     "cmd": "build",
                     "vectors": n,
                     "k": args.k,
+                    "sec": round(time.time() - t0, 3),
+                }
+            )
+        )
+    elif args.query_table:
+        if not args.output:
+            raise SystemExit("--query-table requires --output")
+        from pdftableextractor_spark.operators.similarity import (
+            ivf_topk_indexed_batch,
+        )
+        from pdftableextractor_spark.sources.tables import write_table
+
+        queries = read_path(spark, args.query_table).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        out = ivf_topk_indexed_batch(
+            spark, queries, args.index, k=args.topk, nprobe=args.nprobe
+        )
+        write_table(out, args.output, mode="overwrite")
+        n = read_path(spark, args.output).count()
+        print(
+            json.dumps(
+                {
+                    "cmd": "query",
+                    "mode": "batch",
+                    "rows_out": n,
+                    "topk": args.topk,
+                    "nprobe": args.nprobe,
                     "sec": round(time.time() - t0, 3),
                 }
             )

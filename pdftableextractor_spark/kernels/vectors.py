@@ -184,7 +184,7 @@ def _half_up_round6(a: np.ndarray) -> np.ndarray:
     return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
 
 
-def knn_block_kernel(k: int):
+def knn_block_kernel(k: int, exclude_self: bool = True):
     """cogroup applyInPandas kernel for the distributed k-NN join: one
     k-means cell per group, ``left`` = the queries probing this cell
     (qid, qemb), ``right`` = the vectors ASSIGNED to this cell
@@ -198,9 +198,12 @@ def knn_block_kernel(k: int):
     never O(cell²). Ranking is a row-wise STABLE argsort on the
     half-up-rounded similarity with the cell pre-sorted by vec_id, so ties
     break to the smaller vec_id exactly like the oracle's
-    row_number(ORDER BY cos DESC, vec_id). Self-pairs are masked to -inf
-    before the sort. Zero-norm vectors get norm 1 (cos 0) rather than
-    NaN-poisoning the block."""
+    row_number(ORDER BY cos DESC, vec_id). Self-pairs (qid == vec_id) are
+    masked to -inf before the sort when ``exclude_self`` — the knn_join
+    default; batch INDEX queries over an unrelated qid namespace pass
+    False so a numeric id collision can't silently drop a true neighbor.
+    Zero-norm vectors get norm 1 (cos 0) rather than NaN-poisoning the
+    block."""
 
     def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -228,13 +231,14 @@ def knn_block_kernel(k: int):
         # k+1 columns: if the query's own vector lives in this cell its
         # masked self occupies one slot, and the k-th real candidate must
         # still make the slice
-        kk = min(k + 1, len(dids))
+        kk = min(k + 1, len(dids)) if exclude_self else min(k, len(dids))
         for i0 in range(0, len(q), 1024):
             qb = q[i0 : i0 + 1024] / qn[i0 : i0 + 1024, None]
             qb_ids = qids[i0 : i0 + 1024]
             sims = qb @ dn_mat.T
             r6 = _half_up_round6(sims)
-            r6[dids[None, :] == qb_ids[:, None]] = -np.inf  # self
+            if exclude_self:
+                r6[dids[None, :] == qb_ids[:, None]] = -np.inf
             order = np.argsort(-r6, axis=1, kind="stable")[:, :kk]
             rows = np.arange(order.shape[0])[:, None]
             valid = np.isfinite(r6[rows, order])  # drop masked selves

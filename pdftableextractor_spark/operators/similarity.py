@@ -339,6 +339,14 @@ def knn_join(
             schema=f"qid {idt}, vec_id {idt}, cos double",
         )
     )
+    return _knn_reduce(cand, k)
+
+
+def _knn_reduce(cand: DataFrame, k: int) -> DataFrame:
+    """Window-free per-query top-k over a (qid, vec_id, cos) candidate
+    frame (≤ n_probe·k rows per query): collect_list + array_sort +
+    slice + posexplode — ranked by (cos rounded to 6 desc, vec_id asc),
+    row_number semantics, no global sort and no Window."""
     r6 = F.round(F.col("cos"), 6)
     top = cand.groupBy("qid").agg(
         F.slice(
@@ -499,3 +507,112 @@ def ivf_topk_indexed(
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def _validated_index(spark, path: str):
+    """Open a persisted IVF index and run the O(k) consistency checks
+    shared by the single-query and batch paths: centroids must carry
+    exactly one build stamp, and the stamp's encoded k must equal the
+    centroid row count (see ivf_topk_indexed for the failure modes each
+    check catches). Returns (centroids_df, vectors_df, build_id)."""
+    from pdftableextractor_spark.sources.tables import read_path
+
+    cents = read_path(spark, f"{path}/centroids")
+    vecs_all = read_path(spark, f"{path}/vectors")
+    cb = {r["build_id"] for r in cents.select("build_id").distinct().collect()}
+    if len(cb) != 1:
+        raise ValueError(
+            f"IVF index at {path} is inconsistent (torn rebuild?): "
+            f"centroids carry builds {sorted(cb)}"
+        )
+    stamp = next(iter(cb))
+    try:
+        stamp_k = int(stamp.split("-", 1)[0][1:])
+    except (ValueError, IndexError):
+        stamp_k = -1
+    n_cents = cents.count()
+    if stamp_k != n_cents:
+        raise ValueError(
+            f"IVF index at {path} is inconsistent (torn rebuild?): "
+            f"build stamp {stamp!r} does not describe a "
+            f"{n_cents}-centroid table"
+        )
+    return cents, vecs_all, stamp
+
+
+def ivf_topk_indexed_batch(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    nprobe: int = 2,
+    qid_col: str = "qid",
+    qemb_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batch-query the persisted IVF index: a DATAFRAME of query vectors,
+    answered in ONE distributed job — the production shape for "embed a
+    new batch, find each item's neighbors in the corpus" (the per-vector
+    ``ivf_topk_indexed`` loop would launch one job per query).
+
+    Output: (qid, vec_id, cos, rnk) — same contract and tie semantics as
+    ``knn_join``. ``exclude_self`` defaults to False: the query table's id
+    namespace is generally unrelated to the index's vec_ids, and excluding
+    on numeric equality would silently drop a true neighbor; pass True
+    when querying the index BY its own vectors (kNN-graph over the index).
+
+    Shape (the knn_join machinery pointed at a persisted index):
+      1. open + validate the index (the O(k) stamp checks);
+      2. assign every query to its ``nprobe`` nearest stored centroids
+         (Arrow matmul kernel), explode, and eagerly localCheckpoint the
+         assigned frame — it is read twice (probe-set collect + cogroup)
+         and the query batch is small next to the corpus;
+      3. collect the batch's DISTINCT probed cells (≤ k ints) and apply
+         them as a LITERAL isin filter, so the vectors scan partition-
+         prunes exactly like the single-query path — a small batch reads
+         only the cells it probes, never the whole index;
+      4. validate the probed partitions' build stamp (same torn-rebuild
+         check, still O(probed partitions));
+      5. cogroup queries × probed vectors on cell through
+         ``knn_block_kernel`` (one BLAS matmul per 1024-query block),
+         then the window-free per-query top-k reduce.
+    """
+    from pdftableextractor_spark.kernels.vectors import (
+        knn_block_kernel,
+        nearest_centroids_udf,
+    )
+
+    cents, vecs_all, stamp = _validated_index(spark, path)
+    cent_rows = cents.orderBy("cell").collect()  # k × dim, driver-small
+    cent_list = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    idt = dict(vecs_all.dtypes)["vec_id"]
+    qry = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qemb_col).alias("qemb"),
+        F.explode(
+            nearest_centroids_udf(cent_list, nprobe)(F.col(qemb_col))
+        ).alias("cell"),
+    ).localCheckpoint(eager=True)
+    probed = sorted(
+        int(r["cell"]) for r in qry.select("cell").distinct().collect()
+    )
+    vecs = vecs_all.filter(F.col("cell").isin(probed))
+    vb = {r["build_id"] for r in vecs.select("build_id").distinct().collect()}
+    if vb - {stamp}:
+        raise ValueError(
+            f"IVF index at {path} is inconsistent (torn rebuild?): "
+            f"centroids build [{stamp!r}] vs probed vectors build "
+            f"{sorted(vb)}"
+        )
+    cand = (
+        qry.groupBy("cell")
+        .cogroup(
+            vecs.select("cell", "vec_id", "embedding").groupBy("cell")
+        )
+        .applyInPandas(
+            knn_block_kernel(k, exclude_self=exclude_self),
+            schema=f"qid {dict(qry.dtypes)['qid']}, vec_id {idt}, "
+            "cos double",
+        )
+    )
+    return _knn_reduce(cand, k)

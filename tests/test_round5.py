@@ -135,3 +135,86 @@ def test_knn_join_kernel_tie_break_and_self_mask():
     assert list(got["vec_id"]) == [20, 30, 40]  # self dropped, id order
     assert list(got["qid"]) == [10, 10, 10]
     assert np.allclose(got["cos"], 1.0)
+
+
+def test_ivf_indexed_batch_matches_per_vector_loop(spark, tmp_path):
+    """The batch path (one job for a whole query table) must return,
+    per query, exactly what the single-query ivf_topk_indexed loop
+    returns (same index, same nprobe, row_number tie semantics), with the
+    query's own vector included (exclude_self=False on an index queried
+    by its own members ranks self at cos 1.0 — the per-vector path does
+    the same); the probed-vectors scan must be partition-pruned by the
+    batch's literal probe-cell set."""
+    from pyspark.sql import functions as F
+
+    from pdftableextractor_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        ivf_topk_indexed_batch,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, k=8, iters=2)
+
+    qids = [0, 7, 42, 99, 123]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ivf_topk_indexed_batch(spark, queries, idx, k=5, nprobe=2)
+    got = {
+        qid: [(r["vec_id"], r["cos"], r["rnk"]) for r in rows]
+        for qid, rows in _group(out.collect())
+    }
+    for qid in qids:
+        qvec = emb.filter(F.col("vec_id") == qid).collect()[0]["embedding"]
+        exp = [
+            (r["vec_id"], r["cos"], i + 1)
+            for i, r in enumerate(
+                ivf_topk_indexed(spark, idx, qvec, k=5, nprobe=2).collect()
+            )
+        ]
+        assert got[qid] == exp, f"qid {qid}: {got[qid]} != {exp}"
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def _group(rows):
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rnk"])):
+        by_q.setdefault(r["qid"], []).append(r)
+    return by_q.items()
+
+
+def test_ivf_indexed_batch_detects_torn_rebuild(spark, tmp_path):
+    """A vectors table from a different build under the same centroids
+    must raise, not silently answer from the mismatched index."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pdftableextractor_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed_batch,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build_ivf_index(emb, a, k=8, iters=2)
+    # different fit params -> different build stamp
+    build_ivf_index(emb, b, k=8, iters=1)
+    shutil.rmtree(f"{a}/vectors")
+    shutil.copytree(f"{b}/vectors", f"{a}/vectors")
+
+    queries = emb.limit(3).select(F.col("vec_id").alias("qid"), "embedding")
+    with pytest.raises(ValueError, match="torn rebuild"):
+        ivf_topk_indexed_batch(spark, queries, a, k=3, nprobe=2).collect()
