@@ -147,6 +147,9 @@ DRIVER_TAIL = [
     "q27_quality_score",
     "q28_lang_id",
     "q45_redact_pii",
+    # q46 demoted when q68 (mask min_run) joined the window: single-pass
+    # array-ops map, pytest-pinned, exercised by the curate funnel
+    "q46_repetition_stats",
 ]
 
 
@@ -915,6 +918,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keep the document (fully-duplicated docs come back empty, not dropped)
     q["q65_mask_spans"] = lambda s, d: mask_duplicate_spans(
         _docs_str(s, d), n=4, min_docs=2
+    ).select("doc_id", "clean_text", "n_tokens", "n_removed")
+
+    # q68: the Lee-et-al run-length floor on the same masking — adjacent
+    # covered positions merge into runs and only runs >= 8 tokens are cut
+    # (a short shared idiom survives; long boilerplate templates die)
+    q["q68_mask_spans_minrun"] = lambda s, d: mask_duplicate_spans(
+        _docs_str(s, d), n=4, min_docs=2, min_run=8
     ).select("doc_id", "clean_text", "n_tokens", "n_removed")
 
     # containment-based decontamination: same bench/corpus split as q49,
@@ -2510,6 +2520,53 @@ WITH toks AS (
 ), kept AS (
   SELECT t.doc_id, t.tok, t.pos
   FROM tok2 t ANTI JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+), re AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS kept_n
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       coalesce(re.clean_text, '') AS clean_text,
+       CAST(len(toks.tk) AS BIGINT) AS n_tokens,
+       CAST(len(toks.tk) - coalesce(re.kept_n, 0) AS BIGINT) AS n_removed
+FROM toks LEFT JOIN re ON toks.doc_id = re.doc_id
+"""
+
+    # q68: q65 + the run-length floor — gaps-and-islands over the covered
+    # positions (pos - row_number = island id), only runs >= 8 masked
+    o["q68_mask_spans_minrun"] = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter({_WORDS}, x -> x <> '') AS tk,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS tko
+  FROM documents
+), g0 AS (
+  SELECT doc_id, tk, unnest(range(len(tk) - 3)) AS i
+  FROM toks WHERE len(tk) >= 4
+), g AS (
+  SELECT doc_id, i AS start_pos, array_to_string(tk[i + 1:i + 4], ' ') AS gram
+  FROM g0
+), c AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT g.doc_id, g.start_pos + u.j AS pos
+  FROM g JOIN c USING (gram), unnest(range(4)) AS u(j)
+), runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM cov
+), cov2 AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY doc_id, grp) AS rl
+    FROM runs)
+  WHERE rl >= 8
+), tok2 AS (
+  SELECT doc_id, unnest(tko) AS tok, unnest(range(len(tko))) AS pos FROM toks
+), kept AS (
+  SELECT t.doc_id, t.tok, t.pos
+  FROM tok2 t ANTI JOIN cov2 ON t.doc_id = cov2.doc_id AND t.pos = cov2.pos
 ), re AS (
   SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
          count(*) AS kept_n

@@ -29,7 +29,9 @@ One pass over documents(doc_id, text, ...):
   6b. span masking        cut cross-document duplicated --mask-span-n-gram
                           windows from the text (substring dedup: remove
                           the duplicate, keep the doc — original casing of
-                          surviving tokens preserved; emptied docs drop)
+                          surviving tokens preserved; emptied docs drop);
+                          --mask-min-run floors the cut at merged covered
+                          runs of that many tokens (short idioms survive)
   7. decontaminate        drop docs sharing a word n-gram with --benchmark
                           (skipped when no benchmark parquet is given);
                           --fuzzy-decontam T switches to the graded rule —
@@ -90,6 +92,14 @@ def main() -> None:
         help="CUT every cross-document duplicated n-token window from the "
         "text (Lee et al. substring dedup: remove the duplicate, keep the "
         "doc); docs left empty are dropped",
+    )
+    p.add_argument(
+        "--mask-min-run",
+        type=int,
+        default=None,
+        help="with --mask-span-n: only cut merged covered runs of at "
+        "least this many tokens (Lee et al. used 50) — short shared "
+        "idioms survive, long boilerplate templates die",
     )
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
     p.add_argument(
@@ -259,7 +269,9 @@ def main() -> None:
         # passes once per branch (the stage-lineage rule at the top)
         scrubbed = scrubbed.localCheckpoint()
         masked = mask_duplicate_spans(
-            scrubbed.select("doc_id", "text"), n=args.mask_span_n
+            scrubbed.select("doc_id", "text"),
+            n=args.mask_span_n,
+            min_run=args.mask_min_run,
         ).select("doc_id", F.col("clean_text").alias("__masked"))
         scrubbed = (
             scrubbed.join(masked, "doc_id")

@@ -1036,12 +1036,23 @@ def mask_duplicate_spans(
     n: int = 4,
     min_docs: int = 2,
     text_col: str = "text",
+    min_run: int | None = None,
 ) -> DataFrame:
     """REMOVE cross-document duplicated n-gram spans from each document —
     the consume side of ``duplicate_ngram_spans`` (Lee et al. 2022 cut the
     duplicated substring, keep the document): every token covered by ANY
     span shared with >= ``min_docs`` documents is dropped; the survivors
     are re-joined in order.
+
+    ``min_run`` is the Lee-et-al length floor: adjacent covered positions
+    merge into runs (overlapping shared spans chain), and only runs of at
+    least ``min_run`` tokens are actually cut — a short idiom two docs
+    happen to share survives, the long boilerplate template dies. Lee et
+    al. used a 50-token floor; the default ``None`` (or any value <= n)
+    masks every covered token, since a covered run is always >= n long by
+    construction. The run merge is one per-doc gaps-and-islands pass over
+    the COVERED-position frame only (row_number + count windows sharing a
+    (doc_id)-grained exchange) — the corpus itself never enters a window.
 
     Output: (doc_id, clean_text, n_tokens, n_removed) for EVERY input doc
     — a fully-duplicated document comes back with clean_text '' (callers
@@ -1093,6 +1104,21 @@ def mask_duplicate_spans(
         )
         .distinct()
     )
+    if min_run is not None and min_run > n:
+        w_run = Window.partitionBy("doc_id").orderBy("pos")
+        runs = covered.withColumn(
+            "__grp", F.col("pos") - F.row_number().over(w_run)
+        )
+        covered = (
+            runs.withColumn(
+                "__rl",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("doc_id", "__grp")
+                ),
+            )
+            .filter(F.col("__rl") >= min_run)
+            .select("doc_id", "pos")
+        )
     toks = both.select(
         "doc_id", F.posexplode_outer(F.col("__tko")).alias("pos", "tok")
     ).filter(F.col("tok").isNotNull())

@@ -218,3 +218,36 @@ def test_ivf_indexed_batch_detects_torn_rebuild(spark, tmp_path):
     queries = emb.limit(3).select(F.col("vec_id").alias("qid"), "embedding")
     with pytest.raises(ValueError, match="torn rebuild"):
         ivf_topk_indexed_batch(spark, queries, a, k=3, nprobe=2).collect()
+
+
+def test_mask_spans_min_run_floor(spark):
+    """Lee-et-al run-length floor: a short shared idiom (a single 4-gram,
+    run length 4) survives min_run=8, while a long shared template (9
+    contiguous covered tokens) is cut; adjacent covered spans MERGE into
+    one run before the floor is applied (doc a: idiom+template adjacent =
+    13-token run, all cut)."""
+    from pdftableextractor_spark.operators.dedup import mask_duplicate_spans
+
+    rows = [
+        # idiom directly abuts the template -> one merged 13-token run
+        ("a", "alpha beta gamma delta common one two three four five six"
+              " seven eight unique tail here"),
+        # idiom separated from the template -> its own 4-token run survives
+        ("b", "alpha beta gamma delta other words common one two three"
+              " four five six seven eight end"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in mask_duplicate_spans(
+            docs, n=4, min_docs=2, min_run=8
+        ).collect()
+    }
+    assert got["a"] == ("unique tail here", 13)
+    assert got["b"] == ("alpha beta gamma delta other words end", 9)
+    # without the floor both shared regions die everywhere
+    base = {
+        r["doc_id"]: r["n_removed"]
+        for r in mask_duplicate_spans(docs, n=4, min_docs=2).collect()
+    }
+    assert base["a"] == 13 and base["b"] == 13
