@@ -2,12 +2,14 @@
 with typed metadata.
 
 PNG images decode to GENUINE pixels with a pure-stdlib codec (``decode_png``:
-zlib inflate + scanline unfilter — no PIL needed) and RIFF/WAVE PCM audio
+zlib inflate + scanline unfilter — no PIL needed), RIFF/WAVE PCM audio
 decodes to GENUINE samples (``decode_wav``: the stdlib ``wave`` module —
-no soundfile needed); video and other formats remain STUBBED
-(deterministic fake features behind ``decode_stub``; a real deployment
-swaps the ``NotImplementedError``-guarded branch of ``real_decode`` for
-ffmpeg). Everything Spark-side is real and
+no soundfile needed), and uncompressed-DIB RIFF/AVI video decodes to
+GENUINE frames (``decode_avi``: a RIFF chunk walk, the WAV container
+machinery generalized). Compressed video codecs and other formats remain
+STUBBED (deterministic fake features behind ``decode_stub``; a real
+deployment swaps the ``NotImplementedError``-guarded branches of
+``real_decode`` for ffmpeg). Everything Spark-side is real and
 tested either way: the binary schema, Arrow batch shape through
 ``mapInPandas``, partition-size control for fat binary rows, and the
 metadata join-back.
@@ -120,6 +122,91 @@ def sample_frames(assets: DataFrame, every_ms: int = 5000) -> DataFrame:
                 256,
             )
         ).alias("frame"),
+    )
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "asset_id string, frame_idx int, ts_ms int, width int, height int, "
+    "decoded boolean, frame binary"
+)
+
+
+def _frame_sample_kernel(every_ms: int):
+    """mapInPandas kernel behind sample_frames_decoded: per video payload,
+    decode the AVI once, then emit the temporally-nearest REAL frame (raw
+    RGB bytes) for each sampled timestamp; payloads decode_avi cannot
+    handle (compressed codec, non-AVI container, hostile header) degrade
+    to the deterministic sha-derived fake frame with decoded=false — the
+    same bytes the pure-JVM sample_frames emits, so the two paths agree
+    on the fallback."""
+
+    def k(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in (
+                "asset_id", "frame_idx", "ts_ms", "width", "height",
+                "decoded", "frame",
+            )}
+            for aid, payload, dur in zip(
+                pdf["asset_id"].values,
+                pdf["payload"].values,
+                pdf["duration_ms"].values,
+            ):
+                frames = None
+                try:
+                    frames, fps = decode_avi(bytes(payload))
+                    if frames.shape[0] == 0 or not fps:
+                        frames = None
+                except Exception:
+                    frames = None
+                for i, ts in enumerate(range(0, int(dur) + 1, every_ms)):
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(ts)
+                    if frames is not None:
+                        fi = min(
+                            int(ts / 1000.0 * fps), frames.shape[0] - 1
+                        )
+                        out["width"].append(frames.shape[2])
+                        out["height"].append(frames.shape[1])
+                        out["decoded"].append(True)
+                        out["frame"].append(frames[fi].tobytes())
+                    else:
+                        out["width"].append(0)
+                        out["height"].append(0)
+                        out["decoded"].append(False)
+                        out["frame"].append(
+                            hashlib.sha256(
+                                bytes(payload) + str(ts).encode()
+                            ).digest()
+                        )
+            yield pd.DataFrame(out)
+
+    return k
+
+
+def sample_frames_decoded(
+    assets: DataFrame, every_ms: int = 5000
+) -> DataFrame:
+    """REAL frame sampling: decode each uncompressed-AVI video payload
+    once per task and emit the nearest genuine RGB frame at every sampled
+    timestamp (0, every_ms, … ≤ duration_ms); undecodable payloads keep
+    the deterministic sha fallback (decoded=false) so one bad row never
+    kills the job. Output rows carry raw RGB24 bytes + (width, height) —
+    downstream featurizers reshape with np.frombuffer(...).reshape(h, w,
+    3). The decode happens scan-side inside the Arrow kernel (one decode
+    per video regardless of how many timestamps it yields), and the
+    per-row fan-out stays inside the partition — same skew posture as
+    ``sample_frames``, which remains the zero-decode JVM path for
+    metadata-only pipelines."""
+    v = assets.filter(F.col("kind") == "video").select(
+        "asset_id",
+        "payload",
+        F.coalesce(F.col("meta.duration_ms"), F.lit(0)).alias(
+            "duration_ms"
+        ),
+    )
+    return v.mapInPandas(
+        _frame_sample_kernel(every_ms), schema=FRAME_SAMPLE_SCHEMA
     )
 
 
@@ -325,6 +412,138 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return sig.reshape(-1, nch), fr
 
 
+AVI_SIG = b"RIFF"
+# decode cap: 64 MiB of decoded RGB frames (~90 frames of 480p)
+AVI_BYTES_MAX = 1 << 26
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
+    """Pure-stdlib UNCOMPRESSED-AVI decode — the video analog of
+    decode_png/decode_wav (RIFF container, same family as WAV; the one
+    video form a zero-dependency parser can honestly decode). Supported:
+    one 'vids' stream, handler 'DIB '/0, BITMAPINFOHEADER with
+    biCompression=0 (BI_RGB) at 24 bits/pixel, frames in '##db'/'##dc'
+    chunks — bottom-up BGR rows padded to 4 bytes, per the DIB spec.
+    Compressed codecs raise NotImplementedError (the honest boundary —
+    production swaps this for ffmpeg; the Spark-side plumbing is
+    identical either way).
+
+    Returns (frames uint8 (n, h, w, 3) in RGB, fps float). Header fields
+    are attacker-controlled, so the total decoded size is bounded BEFORE
+    any frame allocation (n_frames·h·w·3 <= AVI_BYTES_MAX) and each
+    frame chunk must carry exactly its stride·h bytes — a forged frame
+    count or dimension can never allocate past the cap."""
+    import struct
+
+    if payload[:4] != AVI_SIG or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def chunks(buf, pos, end):
+        while pos + 8 <= end:
+            fcc = buf[pos : pos + 4]
+            (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            data_at = pos + 8
+            if data_at + ln > end:
+                raise ValueError("truncated AVI chunk")
+            yield fcc, data_at, ln
+            pos = data_at + ln + (ln & 1)  # chunks are word-aligned
+
+    w = h = None
+    usec_per_frame = 0
+    bitcount = compression = None
+    handler_ok = False
+    frames_raw: list[bytes] = []
+    for fcc, at, ln in chunks(payload, 12, len(payload)):
+        if fcc != b"LIST":
+            continue
+        list_type = payload[at : at + 4]
+        if list_type == b"hdrl":
+            for f2, a2, l2 in chunks(payload, at + 4, at + ln):
+                if f2 == b"avih" and l2 >= 40:
+                    vals = struct.unpack("<10I", payload[a2 : a2 + 40])
+                    usec_per_frame = vals[0]
+                    w, h = vals[8], vals[9]
+                elif f2 == b"LIST" and payload[a2 : a2 + 4] == b"strl":
+                    # strh precedes strf within a strl; only the vids
+                    # stream's strf is a BITMAPINFOHEADER (an auds strf is
+                    # a WAVEFORMATEX — reading bitcount from it would be
+                    # garbage), so gate strf parsing on the stream type
+                    is_vids = False
+                    for f3, a3, l3 in chunks(payload, a2 + 4, a2 + l2):
+                        if f3 == b"strh" and l3 >= 8:
+                            is_vids = payload[a3 : a3 + 4] == b"vids"
+                            if is_vids:
+                                handler = payload[a3 + 4 : a3 + 8]
+                                handler_ok = handler in (
+                                    b"DIB ",
+                                    b"\x00\x00\x00\x00",
+                                )
+                        elif f3 == b"strf" and l3 >= 20 and is_vids:
+                            bitcount = struct.unpack(
+                                "<H", payload[a3 + 14 : a3 + 16]
+                            )[0]
+                            compression = struct.unpack(
+                                "<I", payload[a3 + 16 : a3 + 20]
+                            )[0]
+        elif list_type == b"movi":
+            for f2, a2, l2 in chunks(payload, at + 4, at + ln):
+                if f2[2:4] in (b"db", b"dc"):
+                    frames_raw.append(payload[a2 : a2 + l2])
+    if w is None or not (0 < w and 0 < h):
+        raise ValueError("malformed AVI header")
+    if not handler_ok or compression not in (None, 0) or bitcount != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit DIB AVI is supported "
+            f"(bitcount={bitcount}, compression={compression})"
+        )
+    n = len(frames_raw)
+    if n * h * w * 3 > AVI_BYTES_MAX:
+        raise ValueError(
+            f"AVI size {n}x{h}x{w}x3 exceeds the decode bound "
+            f"({n * h * w * 3} > {AVI_BYTES_MAX} bytes)"
+        )
+    stride = (w * 3 + 3) & ~3  # DIB rows pad to 4 bytes
+    out = np.empty((n, h, w, 3), dtype=np.uint8)
+    for i, fr in enumerate(frames_raw):
+        if len(fr) != stride * h:
+            raise ValueError(
+                f"frame {i}: {len(fr)} bytes != stride {stride} x {h} rows"
+            )
+        rows = np.frombuffer(fr, dtype=np.uint8).reshape(h, stride)
+        # bottom-up BGR -> top-down RGB
+        out[i] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    return out, fps
+
+
+def video_features(frames: np.ndarray, fps: float) -> np.ndarray:
+    """FEAT_DIM floats from genuine decoded frames: duration, mean/std
+    luminance, mean inter-frame motion, frame count, shape, fps — all
+    normalized into [0, 1]. A zero-frame AVI yields finite all-zero
+    features (the audio_features convention)."""
+    n = frames.shape[0]
+    if n == 0:
+        return np.zeros(FEAT_DIM, dtype=np.float32)
+    f = frames.astype(np.float64)
+    lum = f.mean(axis=3)  # (n, h, w) channel-mean luminance
+    motion = (
+        float(np.abs(np.diff(lum, axis=0)).mean()) / 255.0 if n > 1 else 0.0
+    )
+    return np.asarray(
+        [
+            min(n / fps / 3600.0, 1.0) if fps else 0.0,  # duration h
+            float(lum.mean()) / 255.0,
+            float(lum.std()) / 255.0,
+            min(motion, 1.0),
+            min(n / 100000.0, 1.0),
+            frames.shape[1] / 4096.0,
+            frames.shape[2] / 4096.0,
+            min(fps / 120.0, 1.0),
+        ],
+        dtype=np.float32,
+    )
+
+
 def audio_features(sig: np.ndarray, framerate: int) -> np.ndarray:
     """FEAT_DIM floats from genuine PCM samples: duration, RMS, mean |x|,
     zero-crossing rate, peak, channel-mean spread, channels, rate — all
@@ -376,17 +595,24 @@ def image_features(px: np.ndarray) -> np.ndarray:
 
 def real_decode(payload: bytes, kind: str):
     """Real decode where a pure-stdlib codec exists: PNG images via
-    decode_png (zlib) and RIFF/WAVE PCM audio via decode_wav (wave).
-    The return shape is KIND-SPECIFIC: image -> (h, w, channels) uint8
-    pixel array; audio -> (samples float32 (n_frames, channels),
-    framerate int) tuple — callers dispatch on the kind they passed.
-    Video (and other image/audio formats) remains
-    NotImplementedError-guarded — the container has no ffmpeg; swap this
-    branch for the real codecs in production."""
+    decode_png (zlib), RIFF/WAVE PCM audio via decode_wav (wave), and
+    uncompressed-DIB RIFF/AVI video via decode_avi. The return shape is
+    KIND-SPECIFIC: image -> (h, w, channels) uint8 pixel array; audio ->
+    (samples float32 (n_frames, channels), framerate int) tuple; video ->
+    (frames uint8 (n, h, w, 3), fps float) tuple — callers dispatch on
+    the kind they passed. Compressed video codecs (and other
+    image/audio formats) remain NotImplementedError-guarded — the
+    container has no ffmpeg; swap those branches in production."""
     if kind == "image" and payload[:8] == PNG_SIG:
         return decode_png(payload)
     if kind == "audio" and payload[:4] == WAV_SIG:
         return decode_wav(payload)
+    if (
+        kind == "video"
+        and payload[:4] == AVI_SIG
+        and payload[8:12] == b"AVI "
+    ):
+        return decode_avi(payload)
     raise NotImplementedError(
         "media codecs unavailable in this environment; use decode_stub"
     )
@@ -402,13 +628,15 @@ def decode_stub(payload: bytes, kind: str) -> np.ndarray:
 
 
 def _decode_one(payload: bytes, kind: str) -> np.ndarray:
-    """Image PNGs decode to GENUINE pixels (decode_png) and featurize from
-    them; everything else keeps the deterministic stub. A payload that LOOKS
-    like a PNG but is unsupported (interlaced), truncated, or hostile
-    (oversized header, deflate bomb, out-of-range palette index) degrades to
-    the stub instead of crashing the task — one bad row must never kill a
-    corpus-wide featurize job (the drop/degrade convention: GRID_AREA_MAX,
-    PNG_AREA_MAX)."""
+    """PNG images, WAV audio, and uncompressed-DIB AVI video decode to
+    GENUINE pixels/samples/frames and featurize from them; everything
+    else keeps the deterministic stub. A payload that LOOKS like a
+    supported container but is unsupported (interlaced PNG, compressed
+    AVI codec), truncated, or hostile (oversized header, deflate bomb,
+    out-of-range palette index, forged frame size) degrades to the stub
+    instead of crashing the task — one bad row must never kill a
+    corpus-wide featurize job (the drop/degrade convention:
+    GRID_AREA_MAX, PNG_AREA_MAX, WAV_BYTES_MAX, AVI_BYTES_MAX)."""
     if kind == "image" and payload[:8] == PNG_SIG:
         try:
             return image_features(decode_png(payload))
@@ -419,6 +647,15 @@ def _decode_one(payload: bytes, kind: str) -> np.ndarray:
     if kind == "audio" and payload[:4] == WAV_SIG:
         try:
             return audio_features(*decode_wav(payload))
+        except Exception:
+            return decode_stub(payload, kind)
+    if (
+        kind == "video"
+        and payload[:4] == AVI_SIG
+        and payload[8:12] == b"AVI "
+    ):
+        try:
+            return video_features(*decode_avi(payload))
         except Exception:
             return decode_stub(payload, kind)
     return decode_stub(payload, kind)

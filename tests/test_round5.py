@@ -251,3 +251,170 @@ def test_mask_spans_min_run_floor(spark):
         for r in mask_duplicate_spans(docs, n=4, min_docs=2).collect()
     }
     assert base["a"] == 13 and base["b"] == 13
+
+
+def _encode_avi(frames, fps=10, bitcount=24, handler=b"DIB ",
+                compression=0, forge_avih_dims=None,
+                truncate_frame_bytes=0):
+    """Minimal uncompressed-AVI writer for round-trip tests: RIFF
+    container, hdrl (avih + one vids strl), movi with one 00db chunk per
+    frame — bottom-up BGR rows padded to 4 bytes, per the DIB spec."""
+    import struct
+
+    n = len(frames)
+    h, w = (frames[0].shape[0], frames[0].shape[1]) if n else (2, 2)
+    if forge_avih_dims:
+        ah, aw = forge_avih_dims
+    else:
+        ah, aw = h, w
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(fcc, data):
+        return fcc + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    avih = struct.pack(
+        "<10I", int(1e6 / fps), 0, 0, 0, n, 0, 1, 0, aw, ah
+    ) + b"\x00" * 16
+    strh = b"vids" + handler + b"\x00" * 48
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bitcount, compression,
+        stride * h, 0, 0, 0, 0,
+    )
+    strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"LIST", strl)
+    movi = b"movi"
+    for fr in frames:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = fr[::-1, :, ::-1].reshape(h, w * 3)  # BGR, flip
+        data = rows.tobytes()
+        if truncate_frame_bytes:
+            data = data[:-truncate_frame_bytes]
+        movi += chunk(b"00db", data)
+    body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_avi_decode_round_trip():
+    """decode_avi reproduces exact pixels, frame order, and fps through
+    the DIB bottom-up/BGR/stride conventions, including a non-multiple-
+    of-4 row width (stride padding)."""
+    from pdftableextractor_spark.operators.multimodal import decode_avi
+
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, (4, 5, 3), dtype=np.uint8)
+              for _ in range(3)]  # w=5 -> stride 16 != 15
+    got, fps = decode_avi(_encode_avi(frames, fps=25))
+    assert got.shape == (3, 4, 5, 3) and abs(fps - 25.0) < 1e-6
+    for i in range(3):
+        assert (got[i] == frames[i]).all()
+
+
+def test_avi_hostile_and_unsupported_bounded():
+    """A forged frame-count/dimension pair exceeding the 64 MiB decode
+    cap raises BEFORE allocation; a frame chunk whose size disagrees with
+    stride*h raises; a compressed codec raises NotImplementedError (the
+    honest stub boundary)."""
+    import pytest
+
+    from pdftableextractor_spark.operators.multimodal import decode_avi
+
+    frames = [np.zeros((2, 2, 3), dtype=np.uint8)] * 2
+    # forge avih dims huge: the strf still says 2x2, but the real bound
+    # uses the avih dims -> must reject before allocating
+    hostile = _encode_avi(frames, forge_avih_dims=(30000, 30000))
+    with pytest.raises(ValueError, match="decode bound"):
+        decode_avi(hostile)
+
+    # short frame chunk (sizes self-consistent, data < stride*h): the
+    # per-frame length check must trip, never a mis-shaped reshape
+    with pytest.raises(ValueError, match="frame 0"):
+        decode_avi(_encode_avi(frames, truncate_frame_bytes=4))
+
+    with pytest.raises(NotImplementedError, match="uncompressed"):
+        decode_avi(_encode_avi(frames, handler=b"MJPG", compression=1))
+
+
+def test_avi_kernel_routing_real_vs_stub(spark):
+    """Through the Arrow kernel a real AVI featurizes from genuine frames
+    (video_features), a compressed AVI degrades to the stub, and a
+    zero-frame AVI yields finite features."""
+    from pdftableextractor_spark.operators.multimodal import (
+        decode_avi,
+        decode_stub,
+        extract_features,
+        video_features,
+    )
+
+    rng = np.random.RandomState(6)
+    frames = [rng.randint(0, 256, (6, 6, 3), dtype=np.uint8)
+              for _ in range(4)]
+    real = _encode_avi(frames, fps=10)
+    compressed = _encode_avi(frames, handler=b"MJPG", compression=1)
+    empty = _encode_avi([], fps=10)
+    assets = spark.createDataFrame(
+        [
+            ("v1", "video", bytearray(real)),
+            ("v2", "video", bytearray(compressed)),
+            ("v3", "video", bytearray(empty)),
+        ],
+        "asset_id string, kind string, payload binary",
+    )
+    feats = {
+        r["asset_id"]: np.array(r["feat"], dtype=np.float32)
+        for r in extract_features(assets).collect()
+    }
+    assert np.allclose(feats["v1"], video_features(*decode_avi(real)),
+                       atol=1e-6)
+    assert np.allclose(feats["v2"], decode_stub(compressed, "video"),
+                       atol=1e-6)
+    assert np.isfinite(feats["v3"]).all() and (feats["v3"] == 0).all()
+    # motion feature is nonzero for changing random frames
+    assert feats["v1"][3] > 0
+
+
+def test_sample_frames_decoded_real_and_fallback(spark):
+    """sample_frames_decoded returns GENUINE RGB frames at each sampled
+    timestamp for a real AVI (bytes round-trip to the encoder's pixels,
+    nearest-frame indexing) and the deterministic sha fallback for an
+    undecodable video payload — matching the JVM sample_frames bytes."""
+    import hashlib
+
+    from pdftableextractor_spark.operators.multimodal import (
+        sample_frames_decoded,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, (3, 4, 3), dtype=np.uint8)
+              for _ in range(10)]
+    avi = _encode_avi(frames, fps=2)  # 10 frames @2fps = 5 s
+    junk = b"not an avi"
+    assets = spark.createDataFrame(
+        [
+            ("v1", "video", bytearray(avi), (4500,)),
+            ("v2", "video", bytearray(junk), (2000,)),
+            ("t1", "image", bytearray(b"x"), (0,)),  # filtered out
+        ],
+        "asset_id string, kind string, payload binary, "
+        "meta struct<duration_ms int>",
+    )
+    rows = sample_frames_decoded(assets, every_ms=1000).collect()
+    v1 = sorted((r for r in rows if r["asset_id"] == "v1"),
+                key=lambda r: r["ts_ms"])
+    # ts 0..4500 step 1000 -> 5 samples; frame index = ts/1000*fps
+    assert [r["ts_ms"] for r in v1] == [0, 1000, 2000, 3000, 4000]
+    for r in v1:
+        assert r["decoded"] and (r["width"], r["height"]) == (4, 3)
+        exp = frames[min(int(r["ts_ms"] / 1000.0 * 2), 9)]
+        got = np.frombuffer(bytes(r["frame"]), dtype=np.uint8).reshape(
+            3, 4, 3
+        )
+        assert (got == exp).all()
+    v2 = [r for r in rows if r["asset_id"] == "v2"]
+    assert len(v2) == 3 and not any(r["decoded"] for r in v2)
+    for r in v2:
+        assert bytes(r["frame"]) == hashlib.sha256(
+            junk + str(r["ts_ms"]).encode()
+        ).digest()
+    assert not [r for r in rows if r["asset_id"] == "t1"]
