@@ -48,6 +48,7 @@ from pdftableextractor_spark.operators.dedup import (
     mask_duplicate_spans,
     ngram_decontaminate,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_near_dups,
     simhash_near_dups_multiband,
     simhash_signatures,
@@ -150,6 +151,9 @@ DRIVER_TAIL = [
     # q46 demoted when q68 (mask min_run) joined the window: single-pass
     # array-ops map, pytest-pinned, exercised by the curate funnel
     "q46_repetition_stats",
+    # q11 demoted when q69 (semantic dedup) joined the window: the
+    # 4-source union warm-up ⊂ q37/q38's full five-source row contract
+    "q11_union_sources",
 ]
 
 
@@ -946,6 +950,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q67_knn_join"] = lambda s, d: knn_join(
         _t(s, d, "embeddings").select("vec_id", "embedding"),
         k=3, n_cells=8, n_probe=None, iters=2,
+    )
+
+    # q69 SemDeDup: exact kNN-3 graph at cos >= 0.35 -> connected
+    # components -> one kept representative (min id) per semantic cluster
+    q["q69_semantic_dedup"] = lambda s, d: semantic_dedup(
+        _t(s, d, "embeddings").select("vec_id", "embedding"),
+        threshold=0.35, k=3, n_cells=8, n_probe=None, iters=2,
     )
 
     # ------------------------------------------------------------------
@@ -2628,6 +2639,39 @@ WITH e AS (
   FROM p
 )
 SELECT qid, vec_id, cos, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
+"""
+
+    # q69 SemDeDup: brute-force kNN-3 edges at round6(cos) >= 0.35,
+    # recursive-CTE connected components (the q52 pattern), min-id
+    # representative; singletons keep themselves
+    o["q69_semantic_dedup"] = """
+WITH RECURSIVE ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), p AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vid,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+  FROM ev a JOIN ev b ON a.vec_id <> b.vec_id
+), nn AS (
+  SELECT qid, vid, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vid) AS rnk
+  FROM p
+), ed AS (
+  SELECT DISTINCT least(qid, vid) AS u, greatest(qid, vid) AS w
+  FROM nn WHERE rnk <= 3 AND cos >= 0.35
+), e AS (
+  SELECT u, w FROM ed UNION SELECT w AS u, u AS w FROM ed
+), reach(u, w) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT r.u, e.w FROM reach r JOIN e ON r.w = e.u
+), lbl AS (
+  SELECT u AS vec_id, min(w) AS component FROM reach GROUP BY u
+)
+SELECT ev.vec_id,
+       coalesce(l.component, ev.vec_id) AS component,
+       ev.vec_id = coalesce(l.component, ev.vec_id) AS keep
+FROM ev LEFT JOIN lbl l ON ev.vec_id = l.vec_id
 """
 
     # add-one bigram LM mean-transition score; both roundings (per-position

@@ -12,6 +12,12 @@ One pass over documents(doc_id, text, ...):
                           (a,c),(b,c) collapse to one survivor, not two).
                           --near-dup-mode pair restores the old per-pair
                           drop-the-higher rule
+  2b. semantic dedup      SemDeDup over --semantic-dedup embeddings
+                          (vec_id == numeric doc_id): kNN graph at
+                          --semantic-threshold -> connected components ->
+                          keep the min-id representative per semantic
+                          cluster; docs without an embedding pass
+                          (skipped when unset)
   3. quality gate         composite quality score >= --min-quality, and/or
                           a RELATIVE per-source gate dropping the bottom
                           --quality-pct fraction of each source
@@ -100,6 +106,24 @@ def main() -> None:
         help="with --mask-span-n: only cut merged covered runs of at "
         "least this many tokens (Lee et al. used 50) — short shared "
         "idioms survive, long boilerplate templates die",
+    )
+    p.add_argument(
+        "--semantic-dedup",
+        default=None,
+        help="parquet of (vec_id, embedding) with vec_id == numeric "
+        "doc_id: SemDeDup stage — kNN graph at --semantic-threshold -> "
+        "connected components -> keep one representative per semantic "
+        "cluster; docs without an embedding pass un-gated",
+    )
+    p.add_argument("--semantic-threshold", type=float, default=0.35)
+    p.add_argument("--semantic-k", type=int, default=3)
+    p.add_argument("--semantic-cells", type=int, default=16)
+    p.add_argument(
+        "--semantic-probe",
+        type=int,
+        default=2,
+        help="cells probed per query in the semantic kNN (the scale "
+        "path); 0 = probe every cell (exact)",
     )
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
     p.add_argument(
@@ -213,6 +237,30 @@ def main() -> None:
         losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     docs2 = docs1.join(losers, "doc_id", "left_anti").localCheckpoint()
     n2 = docs2.count()
+
+    n2s = None
+    if args.semantic_dedup:
+        from pdftableextractor_spark.operators.dedup import semantic_dedup
+
+        emb = read_path(spark, args.semantic_dedup).select(
+            "vec_id", "embedding"
+        )
+        sd = semantic_dedup(
+            emb,
+            threshold=args.semantic_threshold,
+            k=args.semantic_k,
+            n_cells=args.semantic_cells,
+            n_probe=args.semantic_probe or None,
+        )
+        # drop the non-representatives; docs with no embedding pass
+        # (absence-of-evidence, the funnel-wide convention)
+        sem_losers = sd.filter(~F.col("keep")).select(
+            F.col("vec_id").cast("string").alias("doc_id")
+        )
+        docs2 = docs2.join(
+            sem_losers, "doc_id", "left_anti"
+        ).localCheckpoint()
+        n2s = docs2.count()
 
     q = quality_score(docs2).select("doc_id", "quality")
     docs3 = docs2.join(q, "doc_id").filter(
@@ -352,6 +400,8 @@ def main() -> None:
         "shards": n_shards,
         "sec": round(time.time() - t0, 3),
     }
+    if n2s is not None:
+        summary["after_semantic_dedup"] = n2s
     if n3p is not None:
         summary["after_quality_pct"] = n3p
     if n4f is not None:

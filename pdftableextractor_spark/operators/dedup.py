@@ -1205,3 +1205,76 @@ def fuzzy_decontaminate(
         .distinct()
     )
     return docs.join(contaminated, "doc_id", "left_anti")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int | None = None,
+    iters: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): cluster
+    the corpus by embedding similarity and keep one representative per
+    cluster — the dup class lexical dedup (MinHash/SimHash/containment)
+    cannot see: a paraphrase or translation shares no shingles with its
+    source but sits next to it in embedding space.
+
+    Semantics (deterministic, oracle-expressible): build the kNN graph at
+    threshold τ — an edge (a, b) whenever b is among a's top-``k``
+    cosine neighbors (row_number tie semantics) AND round6(cos) >= τ —
+    then take connected components; ``component`` is the min vec_id of
+    each cluster and ``keep`` marks that representative. Every input
+    vector appears in the output (singletons keep themselves), so
+    ``filter(keep)`` IS the deduped corpus and the (vec_id, component)
+    pairs are the cluster map.
+
+    Shape: one ``knn_join`` (cell-blocked cogroup Arrow kernel — exact
+    when ``n_probe=None`` probes every cell, the oracle-parity default;
+    set n_probe small for the 100 TB path where recall tracks the
+    k-means fit) + one ``connected_components`` pass (large-star/
+    small-star, O(log n) rounds) + one left join back. Nothing is
+    quadratic in the corpus; the kNN truncation bounds edges at
+    corpus·k, so CC state is O(n·k) however dense the similarity graph
+    gets — the reason SemDeDup scales where threshold-pair generation
+    (embedding_near_dups) can blow up on a clustered corpus."""
+    from pdftableextractor_spark.operators.similarity import knn_join
+
+    nn = knn_join(
+        embeddings,
+        k=k,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        iters=iters,
+        id_col=id_col,
+    )
+    edges = (
+        nn.filter(F.col("cos") >= threshold)
+        .select(
+            F.least("qid", "vec_id").alias("doc_a"),
+            F.greatest("qid", "vec_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    idt = dict(embeddings.dtypes)[id_col]
+    # connected_components canonicalizes node ids as STRINGS (its min-label
+    # is lexicographic: '103' < '14'); re-label each cluster with the
+    # NUMERIC min member so the representative is the smallest vec_id —
+    # one extra groupBy over the (small) non-singleton cluster map only
+    comp = connected_components(edges).select(
+        F.col("node").cast(idt).alias("__n"),
+        F.col("component").alias("__c"),
+    )
+    rep = comp.groupBy("__c").agg(F.min("__n").alias("__rep"))
+    cmap = comp.join(rep, "__c").select("__n", "__rep")
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .join(cmap, F.col("vec_id") == cmap["__n"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("__rep"), F.col("vec_id")).alias("component"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("component"))
+    )

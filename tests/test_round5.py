@@ -418,3 +418,25 @@ def test_sample_frames_decoded_real_and_fallback(spark):
             junk + str(r["ts_ms"]).encode()
         ).digest()
     assert not [r for r in rows if r["asset_id"] == "t1"]
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """SemDeDup keeps exactly one (min-id) representative per planted
+    near-identical cluster — the paraphrase dup class lexical dedup can't
+    see — and the component labels are the NUMERIC min member (the
+    string-min '103'<'14' trap is re-labeled away)."""
+    from pdftableextractor_spark.operators.dedup import semantic_dedup
+
+    # 30 clusters of 4 near-identical vectors; in-cluster cos ~1, cross
+    # ~random — kNN-3 connects each 4-member cluster completely
+    emb = _clustered_embeddings(spark, n_clusters=30, per_cluster=4)
+    out = semantic_dedup(
+        emb, threshold=0.9, k=3, n_cells=10, n_probe=None, iters=2
+    ).collect()
+    assert len(out) == 120
+    for r in out:
+        c = r["vec_id"] // 4  # planted cluster id
+        assert r["component"] == c * 4, (r["vec_id"], r["component"])
+        assert r["keep"] == (r["vec_id"] == c * 4)
+    kept = sorted(r["vec_id"] for r in out if r["keep"])
+    assert kept == [4 * c for c in range(30)]
