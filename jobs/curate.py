@@ -242,8 +242,23 @@ def main() -> None:
     if args.semantic_dedup:
         from pdftableextractor_spark.operators.dedup import semantic_dedup
 
-        emb = read_path(spark, args.semantic_dedup).select(
-            "vec_id", "embedding"
+        # restrict to the SURVIVING corpus first: representatives must be
+        # picked among docs2's ids — clustering over the full embeddings
+        # table could elect a representative that earlier stages already
+        # dropped, and its whole cluster would then vanish instead of
+        # keeping one member
+        emb = (
+            read_path(spark, args.semantic_dedup)
+            .select("vec_id", "embedding")
+            .join(
+                # try_cast: a non-numeric doc_id simply has no embedding
+                # row (ANSI cast would kill the job instead)
+                docs2.select(
+                    F.expr("try_cast(doc_id AS bigint)").alias("vec_id")
+                ).filter(F.col("vec_id").isNotNull()),
+                "vec_id",
+                "left_semi",
+            )
         )
         sd = semantic_dedup(
             emb,

@@ -151,9 +151,13 @@ def _frame_sample_kernel(every_ms: int):
                 pdf["payload"].values,
                 pdf["duration_ms"].values,
             ):
+                # a NULL payload must not kill the task (the JVM
+                # sample_frames path emits NULL frames for it) — treat it
+                # as undecodable with an empty-bytes fallback basis
+                pb = bytes(payload) if payload is not None else b""
                 frames = None
                 try:
-                    frames, fps = decode_avi(bytes(payload))
+                    frames, fps = decode_avi(pb)
                     if frames.shape[0] == 0 or not fps:
                         frames = None
                 except Exception:
@@ -176,7 +180,7 @@ def _frame_sample_kernel(every_ms: int):
                         out["decoded"].append(False)
                         out["frame"].append(
                             hashlib.sha256(
-                                bytes(payload) + str(ts).encode()
+                                pb + str(ts).encode()
                             ).digest()
                         )
             yield pd.DataFrame(out)
@@ -536,8 +540,8 @@ def video_features(frames: np.ndarray, fps: float) -> np.ndarray:
             float(lum.std()) / 255.0,
             min(motion, 1.0),
             min(n / 100000.0, 1.0),
-            frames.shape[1] / 4096.0,
-            frames.shape[2] / 4096.0,
+            min(frames.shape[1] / 4096.0, 1.0),
+            min(frames.shape[2] / 4096.0, 1.0),
             min(fps / 120.0, 1.0),
         ],
         dtype=np.float32,

@@ -57,6 +57,27 @@ def stratified_sample(
     return docs.filter(_uniform_col(id_col, seed) < frac)
 
 
+_ORDER_NONDET_NODES = {"GlobalLimit", "LocalLimit", "Sample", "Repartition"}
+
+
+def _has_order_nondeterministic_node(df: DataFrame) -> bool:
+    """True if the analyzed plan contains an operator whose OUTPUT ROW SET
+    or order can differ between two evaluations of the same plan even
+    though every expression is deterministic: un-ordered limit (whichever
+    tasks finish first win), sample (partition-content dependent), and
+    round-robin repartition (``Repartition`` — distinct from the
+    deterministic hash/range ``RepartitionByExpression``). The
+    expression-level ``deterministic`` flag reports True for all of
+    these, so pack_shards' two-branch evaluation needs this second,
+    node-level check."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for line in plan.split("\n"):
+        node = line.strip().lstrip(":+- ").split(" ", 1)[0]
+        if node in _ORDER_NONDET_NODES:
+            return True
+    return False
+
+
 def pack_shards(
     docs: DataFrame,
     budget_tokens: int,
@@ -96,21 +117,27 @@ def pack_shards(
     frame is localCheckpoint-ed so both branches read ONE materialization
     instead of re-evaluating — otherwise the branches could disagree on
     __bkt and the inner offset join would silently mis-shard or drop
-    rows. ``checkpoint=None`` (default) AUTO-DETECTS this from the
-    analyzed plan's determinism flag (conservative: a plan carrying any
-    nondeterministic expression checkpoints, even ones like plan-seeded
-    rand() that would in fact re-evaluate identically); ``True`` forces
-    the materialization; ``False`` is an explicit caller override for
-    inputs the detector flags conservatively — silent data loss is on
-    the caller then, which is why the override must be spelled out
-    rather than being the default. Costs one extra exchange vs the
+    rows. ``checkpoint=None`` (default) AUTO-DETECTS this two ways:
+    (a) the analyzed plan's determinism flag (any nondeterministic
+    EXPRESSION — rand() and friends), and (b) a plan-node scan for the
+    ORDER-nondeterministic operators the flag does not cover (the flag
+    only tracks expressions): un-ordered limit, sample, and round-robin
+    repartition all report deterministic=True yet can re-evaluate to
+    different row sets or orders across the two branches. Both detectors
+    are conservative — a plan-seeded rand() or an orderBy().limit()
+    would in fact re-evaluate identically but still checkpoints (one
+    extra materialization, never wrong results). ``True`` forces the
+    materialization; ``False`` is an explicit caller override for inputs
+    the detectors flag conservatively — silent data loss is on the
+    caller then, which is why the override must be spelled out rather
+    than being the default. Costs one extra exchange vs the
     serial-per-group window — the price of intra-group parallelism.
     Output adds shard_idx int."""
     b = num_buckets or docs.sparkSession.sparkContext.defaultParallelism
     if checkpoint is None:
         checkpoint = not (
             docs._jdf.queryExecution().analyzed().deterministic()
-        )
+        ) or _has_order_nondeterministic_node(docs)
     bucketed = docs.repartitionByRange(
         b, F.col(group_col), F.col(id_col)
     ).withColumn("__bkt", F.spark_partition_id())

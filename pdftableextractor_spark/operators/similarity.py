@@ -449,42 +449,20 @@ def ivf_topk_indexed(
     compiles to a static partition filter — the scan plans exactly
     nprobe/k of the index partitions, no job touches the rest (a
     broadcast-join probe would need runtime DPP; a literal filter prunes at
-    planning time and is collect-O(nprobe)-ints cheap)."""
-    from pdftableextractor_spark.sources.tables import read_path
+    planning time and is collect-O(nprobe)-ints cheap).
 
+    Torn-rebuild checks, O(nprobe) not O(index): the O(k) stamp checks
+    run in ``_validated_index``; the vectors side is validated on the
+    POST-prune frame only — the distinct below scans exactly the nprobe
+    probed partitions, never the full index. A build that died after
+    writing vectors but before centroids leaves old centroids next to
+    new vectors; the probed partitions then carry the new build_id and
+    the comparison trips. (The one blind spot — every probed cell
+    physically empty — also yields zero candidates, so nothing wrong is
+    returned.)"""
     cos = cosine_to_query_udf(query_vec)
-    cents = read_path(spark, f"{path}/centroids")
-    vecs_all = read_path(spark, f"{path}/vectors")
-    # torn-rebuild check, O(nprobe) not O(index): the centroids table is k
-    # rows (trivial), and the vectors side is validated on the POST-prune
-    # frame only — the distinct below scans exactly the nprobe probed
-    # partitions, never the full index. A build that died after writing
-    # vectors but before centroids leaves old centroids next to new
-    # vectors; the probed partitions then carry the new build_id and the
-    # comparison trips. (The one blind spot — every probed cell physically
-    # empty — also yields zero candidates, so nothing wrong is returned.)
-    cb = {r["build_id"] for r in cents.select("build_id").distinct().collect()}
-    if len(cb) != 1:
-        raise ValueError(
-            f"IVF index at {path} is inconsistent (torn rebuild?): "
-            f"centroids carry builds {sorted(cb)}"
-        )
-    # structural self-check, still O(k): the stamp encodes the build's k
-    # ("k{k}-i...-s...-n...-x..."), which must equal the centroid row count
-    # — catches a centroids table swapped in from a different-k build even
-    # when every probed vector partition is empty
-    stamp = next(iter(cb))
-    try:
-        stamp_k = int(stamp.split("-", 1)[0][1:])
-    except (ValueError, IndexError):
-        stamp_k = -1
-    n_cents = cents.count()
-    if stamp_k != n_cents:
-        raise ValueError(
-            f"IVF index at {path} is inconsistent (torn rebuild?): "
-            f"build stamp {stamp!r} does not describe a "
-            f"{n_cents}-centroid table"
-        )
+    cents, vecs_all, stamp = _validated_index(spark, path)
+    cb = {stamp}
     probes = [
         int(r["cell"])
         for r in cents.select(

@@ -739,6 +739,23 @@ def test_pack_shards_auto_checkpoints_nondeterministic_lineage(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ExistingRDD" not in det_plan, "deterministic input checkpointed"
+    # ORDER-nondeterministic operators report deterministic=True at the
+    # expression level yet must still checkpoint: un-ordered limit,
+    # sample, round-robin repartition. Hash repartition is deterministic.
+    for nd in (base.limit(400), base.sample(0.9), base.repartition(3)):
+        plan = (
+            pack_shards(nd, budget_tokens=9_000, num_buckets=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ExistingRDD" in plan, "order-nondeterministic input missed"
+    hash_plan = (
+        pack_shards(
+            base.repartition(3, "doc_id"), budget_tokens=9_000,
+            num_buckets=4,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ExistingRDD" not in hash_plan, "hash repartition checkpointed"
 
 
 def test_fuzzy_decontaminate_graded_vs_exact(spark):

@@ -394,6 +394,7 @@ def test_sample_frames_decoded_real_and_fallback(spark):
         [
             ("v1", "video", bytearray(avi), (4500,)),
             ("v2", "video", bytearray(junk), (2000,)),
+            ("v3", "video", None, (1000,)),  # NULL payload: no crash
             ("t1", "image", bytearray(b"x"), (0,)),  # filtered out
         ],
         "asset_id string, kind string, payload binary, "
@@ -417,6 +418,8 @@ def test_sample_frames_decoded_real_and_fallback(spark):
         assert bytes(r["frame"]) == hashlib.sha256(
             junk + str(r["ts_ms"]).encode()
         ).digest()
+    v3 = [r for r in rows if r["asset_id"] == "v3"]
+    assert len(v3) == 2 and not any(r["decoded"] for r in v3)
     assert not [r for r in rows if r["asset_id"] == "t1"]
 
 
