@@ -49,6 +49,7 @@ from pdftableextractor_spark.operators.dedup import (
     ngram_decontaminate,
     ngram_jaccard_pairs,
     semantic_dedup,
+    semantic_dedup_incremental,
     simhash_near_dups,
     simhash_near_dups_multiband,
     simhash_signatures,
@@ -154,6 +155,10 @@ DRIVER_TAIL = [
     # q11 demoted when q69 (semantic dedup) joined the window: the
     # 4-source union warm-up ⊂ q37/q38's full five-source row contract
     "q11_union_sources",
+    # q30 demoted when q70 (incremental semantic dedup) joined the
+    # window: metadata projection ⊂ q40's resize plumbing (parity core,
+    # in-window) + the decode/kernel pytest suite
+    "q30_multimodal_meta",
 ]
 
 
@@ -958,6 +963,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings").select("vec_id", "embedding"),
         threshold=0.35, k=3, n_cells=8, n_probe=None, iters=2,
     )
+
+    # q70 incremental SemDeDup: the q55 cadence for embeddings — new
+    # batch (vec_id % 5 == 0) clustered within itself, probed against
+    # the standing corpus; clusters with any old neighbor >= 0.35 drop
+    def q70(s, d):
+        emb = _t(s, d, "embeddings").select("vec_id", "embedding")
+        is_new = F.col("vec_id") % 5 == 0
+        return semantic_dedup_incremental(
+            emb.filter(is_new), emb.filter(~is_new),
+            threshold=0.35, k=3, n_cells=8, n_probe=None, iters=2,
+        )
+
+    q["q70_semantic_incremental"] = q70
 
     # ------------------------------------------------------------------
     # driver-window ordering: the correctness driver verifies only the
@@ -2672,6 +2690,52 @@ SELECT ev.vec_id,
        coalesce(l.component, ev.vec_id) AS component,
        ev.vec_id = coalesce(l.component, ev.vec_id) AS keep
 FROM ev LEFT JOIN lbl l ON ev.vec_id = l.vec_id
+"""
+
+    # q70 incremental SemDeDup: q69's machinery over the NEW split only,
+    # plus an EXISTS probe against the old split (top-1 >= t == any >= t
+    # in exact mode); clusters with any hit member drop whole
+    o["q70_semantic_incremental"] = """
+WITH RECURSIVE ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), nw AS (
+  SELECT * FROM ev WHERE vec_id % 5 = 0
+), od AS (
+  SELECT * FROM ev WHERE vec_id % 5 <> 0
+), p AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vid,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+  FROM nw a JOIN nw b ON a.vec_id <> b.vec_id
+), nn AS (
+  SELECT qid, vid, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vid) AS rnk
+  FROM p
+), ed AS (
+  SELECT DISTINCT least(qid, vid) AS u, greatest(qid, vid) AS w
+  FROM nn WHERE rnk <= 3 AND cos >= 0.35
+), e AS (
+  SELECT u, w FROM ed UNION SELECT w AS u, u AS w FROM ed
+), reach(u, w) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT r.u, e.w FROM reach r JOIN e ON r.w = e.u
+), lbl AS (
+  SELECT u AS vec_id, min(w) AS component FROM reach GROUP BY u
+), comp AS (
+  SELECT n.vec_id, coalesce(l.component, n.vec_id) AS component
+  FROM nw n LEFT JOIN lbl l ON n.vec_id = l.vec_id
+), hit AS (
+  SELECT DISTINCT a.vec_id FROM nw a JOIN od b ON a.vec_id <> b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+), fc AS (
+  SELECT DISTINCT component FROM comp JOIN hit USING (vec_id)
+)
+SELECT c.vec_id, c.component,
+       c.component IN (SELECT component FROM fc) AS near_old,
+       (c.vec_id = c.component
+        AND c.component NOT IN (SELECT component FROM fc)) AS keep
+FROM comp c
 """
 
     # add-one bigram LM mean-transition score; both roundings (per-position

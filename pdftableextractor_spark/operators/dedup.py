@@ -1278,3 +1278,103 @@ def semantic_dedup(
         )
         .withColumn("keep", F.col("vec_id") == F.col("component"))
     )
+
+
+def semantic_dedup_incremental(
+    new_embeddings: DataFrame,
+    old,
+    threshold: float,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int | None = None,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    index_nprobe: int = 2,
+) -> DataFrame:
+    """Incremental SemDeDup — the production cadence where embedding
+    batches arrive against a standing corpus (the semantic analog of
+    ``minhash_near_dups_incremental`` + the signature store):
+
+      1. cluster WITHIN the new batch (``semantic_dedup``: kNN graph at
+         τ → components → min-id representative);
+      2. probe the batch against the STANDING corpus — ``old`` is either
+         a DataFrame (``knn_join_between``: cells fit on the corpus, the
+         batch multi-probes them) or a persisted IVF index path string
+         (``ivf_topk_indexed_batch``: partition-pruned, O(batch)
+         work — the standing corpus is never rescanned);
+      3. a batch CLUSTER whose ANY member has an old neighbor at
+         round6(cos) >= τ already exists in the corpus → the whole
+         cluster drops (old wins, like the minhash rule); otherwise its
+         representative is kept.
+
+    A re-sent vec_id REPLACES its standing entry: qid == vec_id matches
+    against the old side are masked (``exclude_self``), so an identical
+    re-upload is not "near old" through itself.
+
+    Output: (vec_id, component, near_old, keep) for every batch vector —
+    ``filter(keep)`` is what enters the corpus; append those embeddings
+    to the standing index on the same cadence the signature store grows.
+
+    Exactness: with ``n_probe=None`` (batch side) the within-batch graph
+    is exact, and the DataFrame old-side probe is exact too — top-1 is
+    the true max cosine, so "top-1 >= τ" == "any old neighbor >= τ" (the
+    oracle formulation). The index path approximates with
+    ``index_nprobe`` cells — the 100 TB cadence."""
+    from pdftableextractor_spark.operators.similarity import (
+        ivf_topk_indexed_batch,
+        knn_join_between,
+    )
+
+    sd = semantic_dedup(
+        new_embeddings,
+        threshold,
+        k=k,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        iters=iters,
+        id_col=id_col,
+    )
+    if isinstance(old, str):
+        spark = new_embeddings.sparkSession
+        nn_old = ivf_topk_indexed_batch(
+            spark,
+            new_embeddings.select(
+                F.col(id_col).alias("qid"), F.col("embedding")
+            ),
+            old,
+            k=1,
+            nprobe=index_nprobe,
+            exclude_self=True,
+        )
+    else:
+        nn_old = knn_join_between(
+            new_embeddings,
+            old,
+            k=1,
+            n_cells=n_cells,
+            n_probe=n_probe,
+            iters=iters,
+            id_col=id_col,
+            exclude_self=True,
+        )
+    flagged = (
+        nn_old.filter(F.col("cos") >= threshold)
+        .select(F.col("qid").alias("vec_id"))
+        .distinct()
+    )
+    flagged_comps = (
+        sd.join(flagged, "vec_id", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    return (
+        sd.join(
+            flagged_comps.withColumn("__f", F.lit(True)), "component", "left"
+        )
+        .select(
+            "vec_id",
+            "component",
+            F.coalesce(F.col("__f"), F.lit(False)).alias("near_old"),
+            (F.col("keep") & F.col("__f").isNull()).alias("keep"),
+        )
+    )

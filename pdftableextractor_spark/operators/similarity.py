@@ -310,19 +310,59 @@ def knn_join(
         nearest_centroids_udf,
     )
 
+    return knn_join_between(
+        embeddings,
+        embeddings,
+        k=k,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        iters=iters,
+        id_col=id_col,
+        emb_col=emb_col,
+        seed=seed,
+        exclude_self=True,
+    )
+
+
+def knn_join_between(
+    queries: DataFrame,
+    data: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int | None = 2,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 9,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Two-frame k-NN join: each QUERY vector's top-``k`` neighbors among
+    the DATA vectors — ``knn_join`` is the self-join special case, and
+    the incremental semantic-dedup path uses it as "new batch vs standing
+    corpus" without persisting an index first. The k-means fit runs on
+    the DATA side (the standing corpus defines the cell geometry; a
+    small batch would fit degenerate cells); queries multi-probe into
+    those cells. ``exclude_self`` masks qid == vec_id matches — the
+    re-sent-id rule when both frames share an id namespace."""
+    from pdftableextractor_spark.kernels.vectors import (
+        knn_block_kernel,
+        nearest_centroid_udf,
+        nearest_centroids_udf,
+    )
+
     if n_probe is None:
         n_probe = n_cells
     n_probe = min(n_probe, n_cells)
     cents = kmeans_centroids(
-        embeddings, k=n_cells, iters=iters, id_col=id_col, seed=seed
+        data, k=n_cells, iters=iters, id_col=id_col, seed=seed
     )
-    idt = dict(embeddings.dtypes)[id_col]
-    data = embeddings.select(
+    idt = dict(data.dtypes)[id_col]
+    d = data.select(
         nearest_centroid_udf(cents)(F.col(emb_col)).alias("cell"),
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).alias("embedding"),
     )
-    qry = embeddings.select(
+    qry = queries.select(
         F.col(id_col).alias("qid"),
         F.col(emb_col).alias("qemb"),
         F.explode(
@@ -333,10 +373,11 @@ def knn_join(
     # single-assigned; the probe cells are distinct), so no dedup needed
     cand = (
         qry.groupBy("cell")
-        .cogroup(data.groupBy("cell"))
+        .cogroup(d.groupBy("cell"))
         .applyInPandas(
-            knn_block_kernel(k),
-            schema=f"qid {idt}, vec_id {idt}, cos double",
+            knn_block_kernel(k, exclude_self=exclude_self),
+            schema=f"qid {dict(queries.dtypes)[id_col]}, vec_id {idt}, "
+            "cos double",
         )
     )
     return _knn_reduce(cand, k)

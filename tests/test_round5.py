@@ -443,3 +443,72 @@ def test_semantic_dedup_planted_clusters(spark):
         assert r["keep"] == (r["vec_id"] == c * 4)
     kept = sorted(r["vec_id"] for r in out if r["keep"])
     assert kept == [4 * c for c in range(30)]
+
+
+def test_semantic_dedup_incremental_planted(spark):
+    """Planted incremental scenarios: a batch vector near a STANDING
+    vector drops (its whole cluster drops — old wins); a batch-only dup
+    pair keeps exactly its min-id member; a unique batch vector passes;
+    a RE-SENT id (identical vector, same vec_id in both frames) is NOT
+    'near old' through itself and replaces its standing entry."""
+    from pdftableextractor_spark.operators.dedup import (
+        semantic_dedup_incremental,
+    )
+
+    rng = np.random.RandomState(11)
+
+    def vec(seed_vec, noise=0.0):
+        return [
+            float(x)
+            for x in (seed_vec + rng.standard_normal(len(seed_vec)) * noise)
+        ]
+
+    a, b, c, d = (rng.standard_normal(16) * 10 for _ in range(4))
+    old_rows = [
+        (100, vec(a)),        # standing vector near new 1/2's content
+        (101, vec(b)),
+        (7, vec(c)),          # same id as re-sent batch vector
+    ]
+    new_rows = [
+        (1, vec(a, 0.01)),    # near old 100 -> cluster {1, 2} drops
+        (2, vec(a, 0.01)),    # clustered with 1
+        (3, vec(d, 0.01)),    # batch-only dup pair {3, 4}: keep 3
+        (4, vec(d, 0.01)),
+        (5, vec(rng.standard_normal(16) * 10)),  # unique: keep
+        (7, vec(c)),          # re-sent id, identical vector: keep
+    ]
+    old = spark.createDataFrame(
+        old_rows, "vec_id bigint, embedding array<float>"
+    )
+    new = spark.createDataFrame(
+        new_rows, "vec_id bigint, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: (r["component"], r["near_old"], r["keep"])
+        for r in semantic_dedup_incremental(
+            new, old, threshold=0.9, k=2, n_cells=3, n_probe=None, iters=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 7}
+    assert out[1] == (1, True, False) and out[2] == (1, True, False)
+    assert out[3] == (3, False, True) and out[4] == (3, False, False)
+    assert out[5] == (5, False, True)
+    assert out[7] == (7, False, True), "re-sent id flagged near itself"
+
+    # the persisted-index path (standing corpus as an IVF index) must
+    # agree when every cell is probed
+    import os
+
+    from pdftableextractor_spark.operators.similarity import build_ivf_index
+
+    idx = os.path.join(str(spark.conf.get("spark.sql.warehouse.dir"))
+                       .removeprefix("file:"), "sem_inc_idx")
+    build_ivf_index(old, idx, k=3, iters=2)
+    out_idx = {
+        r["vec_id"]: (r["component"], r["near_old"], r["keep"])
+        for r in semantic_dedup_incremental(
+            new, idx, threshold=0.9, k=2, n_cells=3, n_probe=None,
+            iters=2, index_nprobe=3,
+        ).collect()
+    }
+    assert out_idx == out
