@@ -264,6 +264,7 @@ def knn_join(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 9,
+    cell_salt: int = 1,
 ) -> DataFrame:
     """Distributed k-NN JOIN: every vector's top-``k`` cosine neighbors in
     ONE job — the SemDeDup-style semantic-dedup / clustering primitive
@@ -296,9 +297,10 @@ def knn_join(
     (see the recall test). At scale pick n_cells ~ corpus/target so a
     cell's (cell_size × dim) matrix fits an executor comfortably — the
     kernel's peak is O(1024·cell_size + cell_size·dim), flat in corpus
-    size; a pathological k-means collapse concentrates cells, so very
-    skewed corpora should raise iters or n_cells (the fit, not the join,
-    is the lever).
+    size; for a pathological k-means collapse or a genuinely dense
+    region, ``cell_salt`` splits fat cells into s sub-blocks with an
+    IDENTICAL final result (see knn_join_between) — raise iters/n_cells
+    to fix the fit, salt to fix the straggler.
 
     A 64-dim embedding at 10^12 docs with n_cells=10^6: cells ~10^6 rows
     × 64 × 8 B ≈ 0.5 GB per task — sized for a 4 GB executor; the only
@@ -321,6 +323,7 @@ def knn_join(
         emb_col=emb_col,
         seed=seed,
         exclude_self=True,
+        cell_salt=cell_salt,
     )
 
 
@@ -335,6 +338,7 @@ def knn_join_between(
     emb_col: str = "embedding",
     seed: int = 9,
     exclude_self: bool = False,
+    cell_salt: int = 1,
 ) -> DataFrame:
     """Two-frame k-NN join: each QUERY vector's top-``k`` neighbors among
     the DATA vectors — ``knn_join`` is the self-join special case, and
@@ -343,7 +347,20 @@ def knn_join_between(
     the DATA side (the standing corpus defines the cell geometry; a
     small batch would fit degenerate cells); queries multi-probe into
     those cells. ``exclude_self`` masks qid == vec_id matches — the
-    re-sent-id rule when both frames share an id namespace."""
+    re-sent-id rule when both frames share an id namespace.
+
+    ``cell_salt`` breaks FAT-CELL SKEW without losing exactness: a
+    k-means collapse (or a genuinely dense region) can concentrate a
+    large fraction of the corpus in one cell, making one cogroup task
+    the straggler. With cell_salt = s, each data vector lands in
+    sub-block (cell, xxhash64(id) % s) and each query row replicates to
+    all s sub-blocks of its probe cell — every sub-block contributes its
+    own top-k, and the global per-query reduce merges them, so the final
+    top-k is IDENTICAL to the unsalted result (the true k best of a cell
+    are the union of its sub-blocks' k best). Cost: query-side rows ×s
+    and reduce candidates ×s; per-task memory and wall-clock drop ×s on
+    the hot cell. Use when cell-size histograms (or straggler tasks)
+    say so; 1 (default) keeps the single-block layout."""
     from pdftableextractor_spark.kernels.vectors import (
         knn_block_kernel,
         nearest_centroid_udf,
@@ -369,8 +386,27 @@ def knn_join_between(
             nearest_centroids_udf(cents, n_probe)(F.col(emb_col))
         ).alias("cell"),
     )
-    # a (qid, vec_id) pair meets in at most ONE cell (the data side is
-    # single-assigned; the probe cells are distinct), so no dedup needed
+    if cell_salt > 1:
+        d = d.withColumn(
+            "cell",
+            F.col("cell") * cell_salt
+            + F.pmod(
+                F.xxhash64(F.col("vec_id").cast("string")), cell_salt
+            ).cast("int"),
+        )
+        qry = qry.select(
+            "qid",
+            "qemb",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(cell_salt - 1)),
+                    lambda s: F.col("cell") * cell_salt + s,
+                )
+            ).alias("cell"),
+        )
+    # a (qid, vec_id) pair meets in at most ONE (sub-)cell (the data side
+    # is single-assigned — salted or not; the probe cells are distinct),
+    # so no dedup is needed before the reduce
     cand = (
         qry.groupBy("cell")
         .cogroup(d.groupBy("cell"))
