@@ -689,3 +689,154 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "kind", "payload").mapInPandas(
         _features_kernel, schema=FEATURES_SCHEMA
     )
+
+
+PHASH_BITS = 60  # 6x11 grid -> 6 rows x 10 horizontal comparisons;
+# 60 bits (15 hex chars) keeps every band/xor op inside a signed bigint,
+# the same sign-safety rule as dedup.SIMHASH_BITS
+
+
+def image_dhash(px: np.ndarray) -> int:
+    """60-bit difference hash of a decoded (h, w, ch) uint8 image: channel
+    -mean grayscale, block-mean downsample to a 6x11 grid (images smaller
+    than the grid are nearest-upsampled first), one bit per horizontally
+    adjacent cell pair (left > right), packed MSB-first. Deterministic —
+    a re-encode of the SAME pixels (different PNG filter choices, chunk
+    layout) hashes identically; small local edits flip only the bits of
+    the touched cells, so near-duplicate images land within a small
+    Hamming distance."""
+    g = px.astype(np.float64).mean(axis=2)
+    oh, ow = 6, 11
+    if g.shape[0] < oh or g.shape[1] < ow:
+        g = np.repeat(
+            np.repeat(g, -(-oh // g.shape[0]), axis=0),
+            -(-ow // g.shape[1]),
+            axis=1,
+        )
+    ye = np.linspace(0, g.shape[0], oh + 1).astype(int)
+    xe = np.linspace(0, g.shape[1], ow + 1).astype(int)
+    blocks = np.array(
+        [
+            [
+                g[ye[i]: ye[i + 1], xe[j]: xe[j + 1]].mean()
+                for j in range(ow)
+            ]
+            for i in range(oh)
+        ]
+    )
+    bits = (blocks[:, :-1] > blocks[:, 1:]).ravel()  # 6 x 10 = 60
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h
+
+
+def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel behind image_near_dups: one 60-bit perceptual
+    hash per image payload. Real PNGs hash their decoded pixels
+    (real=true); undecodable/hostile payloads degrade to a sha256-derived
+    pseudo-hash (real=false) — still deterministic, so byte-identical
+    payloads pair up as exact dups, but no perceptual similarity."""
+    for pdf in batches:
+        ids, hashes, real = [], [], []
+        for aid, payload in zip(
+            pdf["asset_id"].values, pdf["payload"].values
+        ):
+            pb = bytes(payload) if payload is not None else b""
+            ids.append(aid)
+            if pb[:8] == PNG_SIG:
+                try:
+                    hashes.append(image_dhash(decode_png(pb)))
+                    real.append(True)
+                    continue
+                except Exception:
+                    pass
+            hashes.append(
+                int.from_bytes(hashlib.sha256(pb).digest()[:8], "big")
+                >> (64 - PHASH_BITS)
+            )
+            real.append(False)
+        yield pd.DataFrame(
+            {
+                "asset_id": ids,
+                "phash": pd.Series(hashes, dtype="int64"),
+                "real": real,
+            }
+        )
+
+
+def image_phashes(assets: DataFrame) -> DataFrame:
+    """(asset_id, phash, real) for every image asset — the signature scan
+    of image-content dedup; Arrow-batched, one decode per payload."""
+    return assets.filter(F.col("kind") == "image").select(
+        "asset_id", "payload"
+    ).mapInPandas(
+        _phash_kernel, schema="asset_id string, phash long, real boolean"
+    )
+
+
+def image_near_dups(
+    assets: DataFrame,
+    max_hamming: int = 4,
+    n_bands: int = 5,
+) -> DataFrame:
+    """Perceptual IMAGE near-duplicate pairs — the content-dedup class
+    the text suite can't see (the same photo re-encoded, resized a
+    little, or slightly edited): (asset_a, asset_b, hamming) with
+    asset_a < asset_b and Hamming(phash) <= ``max_hamming``.
+
+    Shape mirrors ``simhash_near_dups_multiband``: the 60-bit dhash
+    splits into ``n_bands`` disjoint bands (60/n_bands bits); candidates
+    agree on at least one full band (pigeonhole: recall is EXACT for
+    hamming <= n_bands - 1, probabilistically high above), then one
+    bit_count(xor) verify per candidate. The decode happens once per
+    payload in the Arrow kernel; banding/joins are JVM codegen on
+    bigints — nothing is quadratic in the corpus."""
+    band_bits = PHASH_BITS // n_bands
+    sigs = image_phashes(assets)
+    bands = sigs.select(
+        "asset_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.shiftright(F.col("phash"), t * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band"),
+                    )
+                    for t in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "asset_id",
+        "phash",
+        F.col("bb.t").alias("t"),
+        F.col("bb.band").alias("band"),
+    )
+    a = bands.select(
+        F.col("asset_id").alias("asset_a"),
+        F.col("phash").alias("ph_a"),
+        "t",
+        "band",
+    )
+    b = bands.select(
+        F.col("asset_id").alias("asset_b"),
+        F.col("phash").alias("ph_b"),
+        "t",
+        "band",
+    )
+    return (
+        a.join(b, ["t", "band"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "asset_b", "ph_a", "ph_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("asset_a", "asset_b", F.col("hamming").cast("int").alias("hamming"))
+    )

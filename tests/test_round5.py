@@ -537,3 +537,71 @@ def test_knn_join_cell_salt_identical_results(spark):
             ).collect()
         }
         assert salted == base, f"salted result diverged (n_probe={n_probe})"
+
+
+def test_image_near_dups_perceptual(spark):
+    """Image-content dedup: the same pixels re-encoded with different PNG
+    filter choices hash identically (hamming 0); a small local edit stays
+    within a small Hamming distance (near-dup found); unrelated images
+    don't pair at the threshold; byte-identical undecodable payloads
+    still pair as exact dups through the sha pseudo-hash."""
+    from pdftableextractor_spark.operators.multimodal import (
+        PHASH_BITS,
+        image_dhash,
+        image_near_dups,
+        image_phashes,
+    )
+    from tests.test_curation import _encode_png
+
+    rng = np.random.RandomState(13)
+    # strong block structure so the 6x11 grid is stable under small edits
+    base = np.repeat(
+        np.repeat(rng.randint(0, 256, (6, 11, 3), dtype=np.uint8), 8,
+                  axis=0), 8, axis=1,
+    )  # 48 x 88
+    # pin the first two grid cells so the planted edit provably flips
+    # exactly one comparison bit: dark(10) > mid(200) is False...
+    base[0:8, 0:8] = 10
+    base[0:8, 8:16] = 200
+    edited = base.copy()
+    edited[0:8, 0:8] = 250  # ...and bright(250) > mid(200) is True
+    other = np.repeat(
+        np.repeat(rng.randint(0, 256, (6, 11, 3), dtype=np.uint8), 8,
+                  axis=0), 8, axis=1,
+    )
+    h = base.shape[0]
+    png_a = _encode_png(base, [0] * h)
+    png_b = _encode_png(base, [2] * h)      # same pixels, Up filter
+    png_c = _encode_png(edited, [0] * h)
+    png_d = _encode_png(other, [0] * h)
+    junk = b"not a png, definitely"
+    assert image_dhash(base) == image_dhash(base)
+    assert 0 <= image_dhash(base) < (1 << PHASH_BITS)
+
+    assets = spark.createDataFrame(
+        [
+            ("a", "image", bytearray(png_a)),
+            ("b", "image", bytearray(png_b)),
+            ("c", "image", bytearray(png_c)),
+            ("d", "image", bytearray(png_d)),
+            ("j1", "image", bytearray(junk)),
+            ("j2", "image", bytearray(junk)),
+            ("x", "audio", bytearray(png_a)),  # non-image: excluded
+        ],
+        "asset_id string, kind string, payload binary",
+    )
+    sigs = {r["asset_id"]: (r["phash"], r["real"])
+            for r in image_phashes(assets).collect()}
+    assert sigs["a"] == sigs["b"] and sigs["a"][1] is True
+    assert sigs["j1"] == sigs["j2"] and sigs["j1"][1] is False
+    assert "x" not in sigs
+
+    pairs = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in image_near_dups(assets, max_hamming=4).collect()
+    }
+    assert pairs[("a", "b")] == 0
+    assert ("j1", "j2") in pairs and pairs[("j1", "j2")] == 0
+    # the planted one-cell edit flips exactly its one comparison bit
+    assert ("a", "c") in pairs and pairs[("a", "c")] == 1
+    assert not any("d" in p for p in pairs), f"unrelated image paired: {pairs}"
