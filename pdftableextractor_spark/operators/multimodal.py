@@ -775,34 +775,31 @@ def image_phashes(assets: DataFrame) -> DataFrame:
     )
 
 
-def image_near_dups(
-    assets: DataFrame,
-    max_hamming: int = 4,
-    n_bands: int = 5,
+def _hamming_near_dup_pairs(
+    sigs: DataFrame,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+    n_bands: int,
 ) -> DataFrame:
-    """Perceptual IMAGE near-duplicate pairs — the content-dedup class
-    the text suite can't see (the same photo re-encoded, resized a
-    little, or slightly edited): (asset_a, asset_b, hamming) with
-    asset_a < asset_b and Hamming(phash) <= ``max_hamming``.
-
-    Shape mirrors ``simhash_near_dups_multiband``: the 60-bit dhash
-    splits into ``n_bands`` disjoint bands (60/n_bands bits); candidates
-    agree on at least one full band (pigeonhole: recall is EXACT for
-    hamming <= n_bands - 1, probabilistically high above), then one
-    bit_count(xor) verify per candidate. The decode happens once per
-    payload in the Arrow kernel; banding/joins are JVM codegen on
-    bigints — nothing is quadratic in the corpus."""
-    band_bits = PHASH_BITS // n_bands
-    sigs = image_phashes(assets)
+    """Generic multiband Hamming pair join over (asset_id, <hash_col>)
+    signatures — the simhash_near_dups_multiband shape shared by the
+    image and audio perceptual dedup paths: the ``bits``-bit signature
+    splits into ``n_bands`` disjoint bands; candidates agree on at least
+    one full band (pigeonhole: recall is EXACT for hamming <=
+    n_bands - 1, probabilistically high above), then one bit_count(xor)
+    verify per candidate. JVM codegen on bigints end to end; nothing is
+    quadratic in the corpus."""
+    band_bits = bits // n_bands
     bands = sigs.select(
         "asset_id",
-        "phash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(t).alias("t"),
-                        F.shiftright(F.col("phash"), t * band_bits)
+                        F.shiftright(F.col(hash_col), t * band_bits)
                         .bitwiseAND(F.lit((1 << band_bits) - 1))
                         .alias("band"),
                     )
@@ -812,31 +809,134 @@ def image_near_dups(
         ).alias("bb"),
     ).select(
         "asset_id",
-        "phash",
+        hash_col,
         F.col("bb.t").alias("t"),
         F.col("bb.band").alias("band"),
     )
     a = bands.select(
         F.col("asset_id").alias("asset_a"),
-        F.col("phash").alias("ph_a"),
+        F.col(hash_col).alias("h_a"),
         "t",
         "band",
     )
     b = bands.select(
         F.col("asset_id").alias("asset_b"),
-        F.col("phash").alias("ph_b"),
+        F.col(hash_col).alias("h_b"),
         "t",
         "band",
     )
     return (
         a.join(b, ["t", "band"])
         .filter(F.col("asset_a") < F.col("asset_b"))
-        .select("asset_a", "asset_b", "ph_a", "ph_b")
+        .select("asset_a", "asset_b", "h_a", "h_b")
         .distinct()
         .withColumn(
             "hamming",
-            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))),
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("asset_a", "asset_b", F.col("hamming").cast("int").alias("hamming"))
+        .select(
+            "asset_a", "asset_b", F.col("hamming").cast("int").alias("hamming")
+        )
+    )
+
+
+def image_near_dups(
+    assets: DataFrame,
+    max_hamming: int = 4,
+    n_bands: int = 5,
+) -> DataFrame:
+    """Perceptual IMAGE near-duplicate pairs — the content-dedup class
+    the text suite can't see (the same photo re-encoded, resized a
+    little, or slightly edited): (asset_a, asset_b, hamming) with
+    asset_a < asset_b and Hamming(phash) <= ``max_hamming``. The decode
+    happens once per payload in the Arrow kernel; candidate generation
+    and verify are the shared multiband join
+    (``_hamming_near_dup_pairs``)."""
+    return _hamming_near_dup_pairs(
+        image_phashes(assets), "phash", PHASH_BITS, max_hamming, n_bands
+    )
+
+
+def audio_fingerprint(sig: np.ndarray, framerate: int) -> int:
+    """60-bit energy-profile fingerprint of decoded PCM samples: the mono
+    signal splits into 61 equal time windows; one bit per adjacent
+    window pair (energy rising), packed MSB-first. Energy COMPARISONS
+    are invariant under volume scaling, so the same recording at a
+    different gain fingerprints identically; a localized edit flips only
+    the bits of the touched windows. (framerate is part of the decoded
+    contract but does not enter the hash — the profile is positional.)"""
+    if sig.shape[0] == 0:
+        return 0
+    mono = sig.mean(axis=1) if sig.shape[1] > 1 else sig[:, 0]
+    nw = 61
+    edges = np.linspace(0, len(mono), nw + 1).astype(int)
+    if len(mono) < nw:
+        mono = np.repeat(mono, -(-nw // len(mono)))
+        edges = np.linspace(0, len(mono), nw + 1).astype(int)
+    e = np.array(
+        [float(np.mean(mono[edges[i]: edges[i + 1]] ** 2))
+         for i in range(nw)]
+    )
+    bits = e[1:] > e[:-1]  # 60 comparisons
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h
+
+
+def _afp_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel behind audio_near_dups: one 60-bit fingerprint
+    per audio payload; real WAVs fingerprint their decoded samples
+    (real=true), undecodable payloads degrade to the sha pseudo-hash
+    (real=false, exact dups only)."""
+    for pdf in batches:
+        ids, hashes, real = [], [], []
+        for aid, payload in zip(
+            pdf["asset_id"].values, pdf["payload"].values
+        ):
+            pb = bytes(payload) if payload is not None else b""
+            ids.append(aid)
+            if pb[:4] == WAV_SIG:
+                try:
+                    hashes.append(audio_fingerprint(*decode_wav(pb)))
+                    real.append(True)
+                    continue
+                except Exception:
+                    pass
+            hashes.append(
+                int.from_bytes(hashlib.sha256(pb).digest()[:8], "big")
+                >> (64 - PHASH_BITS)
+            )
+            real.append(False)
+        yield pd.DataFrame(
+            {
+                "asset_id": ids,
+                "afp": pd.Series(hashes, dtype="int64"),
+                "real": real,
+            }
+        )
+
+
+def audio_fingerprints(assets: DataFrame) -> DataFrame:
+    """(asset_id, afp, real) for every audio asset — the signature scan of
+    audio-content dedup; Arrow-batched, one decode per payload."""
+    return assets.filter(F.col("kind") == "audio").select(
+        "asset_id", "payload"
+    ).mapInPandas(
+        _afp_kernel, schema="asset_id string, afp long, real boolean"
+    )
+
+
+def audio_near_dups(
+    assets: DataFrame,
+    max_hamming: int = 4,
+    n_bands: int = 5,
+) -> DataFrame:
+    """Perceptual AUDIO near-duplicate pairs: same shape as
+    ``image_near_dups`` over the energy-profile fingerprint — the same
+    recording re-encoded at a different volume or with a short edit
+    pairs up; text/byte dedup can't see either."""
+    return _hamming_near_dup_pairs(
+        audio_fingerprints(assets), "afp", PHASH_BITS, max_hamming, n_bands
     )

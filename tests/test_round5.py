@@ -605,3 +605,72 @@ def test_image_near_dups_perceptual(spark):
     # the planted one-cell edit flips exactly its one comparison bit
     assert ("a", "c") in pairs and pairs[("a", "c")] == 1
     assert not any("d" in p for p in pairs), f"unrelated image paired: {pairs}"
+
+
+def test_audio_near_dups_volume_invariant(spark):
+    """Audio-content dedup: the same recording at half volume fingerprints
+    identically (energy comparisons are scale-invariant — hamming 0); a
+    different waveform doesn't pair; byte-identical undecodable payloads
+    pair through the sha pseudo-hash."""
+    import io
+    import wave
+
+    from pdftableextractor_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fingerprints,
+        audio_near_dups,
+        decode_wav,
+    )
+
+    def wav_from(samples, fr=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(fr)
+            w.writeframes(
+                np.clip(samples, -32767, 32767)
+                .astype("<i2").tobytes()
+            )
+        return buf.getvalue()
+
+    rng = np.random.RandomState(17)
+    # per-window amplitude steps aligned to the 61 fingerprint windows
+    # and WELL separated, so int16 quantization can never flip an
+    # adjacent-energy comparison at either volume
+    n = 61 * 64
+    t = np.arange(n)
+    amps = 2000.0 + 300.0 * rng.permutation(61)
+    env = np.repeat(amps, 64)
+    tone = np.sin(2 * np.pi * 440 * t / 8000)
+    loud = wav_from(tone * env)
+    quiet = wav_from(tone * env * 0.5)
+    other = wav_from(rng.standard_normal(n) * 15000)
+    junk = b"not audio"
+    fp_l = audio_fingerprint(*decode_wav(loud))
+    fp_q = audio_fingerprint(*decode_wav(quiet))
+    assert fp_l == fp_q, "volume change altered the fingerprint"
+
+    assets = spark.createDataFrame(
+        [
+            ("l", "audio", bytearray(loud)),
+            ("q", "audio", bytearray(quiet)),
+            ("o", "audio", bytearray(other)),
+            ("j1", "audio", bytearray(junk)),
+            ("j2", "audio", bytearray(junk)),
+            ("x", "image", bytearray(loud)),  # non-audio: excluded
+        ],
+        "asset_id string, kind string, payload binary",
+    )
+    sigs = {r["asset_id"]: (r["afp"], r["real"])
+            for r in audio_fingerprints(assets).collect()}
+    assert sigs["l"] == sigs["q"] and sigs["l"][1] is True
+    assert sigs["j1"] == sigs["j2"] and sigs["j1"][1] is False
+    assert "x" not in sigs
+    pairs = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in audio_near_dups(assets, max_hamming=4).collect()
+    }
+    assert pairs[("l", "q")] == 0
+    assert ("j1", "j2") in pairs and pairs[("j1", "j2")] == 0
+    assert not any("o" in p for p in pairs), f"unrelated audio paired: {pairs}"
