@@ -385,6 +385,95 @@ def embedding_near_dups_unlabeled(
     ).distinct()
 
 
+def hamming_near_dup_pairs(
+    sigs: DataFrame,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+    n_bands: int,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    real_col: str | None = None,
+) -> DataFrame:
+    """Generic multiband Hamming near-dup pair join over
+    (``id_col``, ``hash_col``) signatures — the one blocking shape behind
+    simhash text dedup AND the perceptual image/audio dedup paths: the
+    ``bits``-bit signature splits into ``n_bands`` disjoint bands
+    (bits/n_bands each; ``bits`` must divide evenly or the uncovered
+    remainder would break the pigeonhole); candidates agree on at least
+    one full band (recall is EXACT for hamming <= n_bands - 1,
+    probabilistically high above), then one bit_count(xor) verify per
+    candidate. JVM codegen on bigints end to end; linear in corpus size
+    for uniform signatures, never all-pairs.
+
+    ``real_col``: when the signature frame carries a boolean "this is a
+    genuine perceptual hash" flag (the image/audio kernels degrade
+    undecodable payloads to a sha pseudo-hash), pairs are restricted to
+    (a) real-real at any hamming <= max_hamming — perceptual similarity
+    is only meaningful between real hashes — and (b) pseudo-pseudo at
+    hamming == 0 — byte-identical payloads still dedup exactly, but a
+    pseudo-hash can never claim NEAR-similarity, and real/pseudo never
+    mix (they live in different hash spaces)."""
+    if bits % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide bits={bits}")
+    band_bits = bits // n_bands
+    cols = [id_col, hash_col] + ([real_col] if real_col else [])
+    bands = sigs.select(
+        *cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.shiftright(F.col(hash_col), t * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band"),
+                    )
+                    for t in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(*cols, F.col("bb.t").alias("t"), F.col("bb.band").alias("band"))
+    a = bands.select(
+        F.col(id_col).alias(a_col),
+        F.col(hash_col).alias("__ha"),
+        *([F.col(real_col).alias("__ra")] if real_col else []),
+        "t",
+        "band",
+    )
+    b = bands.select(
+        F.col(id_col).alias(b_col),
+        F.col(hash_col).alias("__hb"),
+        *([F.col(real_col).alias("__rb")] if real_col else []),
+        "t",
+        "band",
+    )
+    keep = [a_col, b_col, "__ha", "__hb"] + (
+        ["__ra", "__rb"] if real_col else []
+    )
+    cand = (
+        a.join(b, ["t", "band"])
+        .filter(F.col(a_col) < F.col(b_col))
+        .select(*keep)
+        .distinct()  # a pair may collide in several bands — verify once
+    )
+    out = cand.withColumn(
+        "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    ).filter(F.col("hamming") <= max_hamming)
+    if real_col:
+        out = out.filter(
+            (F.col("__ra") & F.col("__rb"))
+            | (
+                (F.col("hamming") == 0)
+                & (F.col("__ra") == F.col("__rb"))
+            )
+        )
+    return out.select(
+        a_col, b_col, F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def simhash_near_dups_multiband(
     docs: DataFrame,
     text_col: str = "text",
@@ -394,61 +483,23 @@ def simhash_near_dups_multiband(
     """Multi-band SimHash near-dup pairs — the rotated-prefix variant
     promised by ``simhash_near_dups``'s single-rotation caveat.
 
-    The 60-bit signature splits into ``n_bands`` disjoint bands
-    (60/n_bands bits each); a candidate pair is any pair agreeing on at
-    least one full band. Pigeonhole guarantee: a pair with
-    hamming < n_bands differs in fewer bits than there are bands, so some
-    band is identical — recall is EXACT for hamming <= n_bands - 1, and
+    The 60-bit signature splits into ``n_bands`` disjoint bands; a
+    candidate pair is any pair agreeing on at least one full band.
+    Pigeonhole guarantee: recall is EXACT for hamming <= n_bands - 1 and
     probabilistically high above it (the single-prefix variant misses any
-    pair whose diff bits land in the one blocked prefix). Cost: n_bands
-    band rows per doc (explode), join per (band_idx, band_value), distinct
-    pair dedup before the hamming verify — same shape as MinHash-LSH
-    banding, linear in corpus size for uniform signatures.
+    pair whose diff bits land in the one blocked prefix). The blocking
+    join itself is ``hamming_near_dup_pairs`` — the one multiband shape
+    shared with the perceptual image/audio dedup paths. Cost: n_bands
+    band rows per doc, join per (band_idx, band_value), distinct pair
+    dedup before the hamming verify — same shape as MinHash-LSH banding,
+    linear in corpus size for uniform signatures.
     """
-    band_bits = SIMHASH_BITS // n_bands
-    sigs = simhash_signatures(docs, text_col)
-    bands = sigs.select(
-        "doc_id",
+    return hamming_near_dup_pairs(
+        simhash_signatures(docs, text_col),
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        F.shiftright(F.col("simhash"), t * band_bits)
-                        .bitwiseAND(F.lit((1 << band_bits) - 1))
-                        .alias("band"),
-                    )
-                    for t in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
-        "doc_id",
-        "simhash",
-        F.col("bb.t").alias("t"),
-        F.col("bb.band").alias("band"),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
-        "t", "band",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
-        "t", "band",
-    )
-    cand = (
-        a.join(b, ["t", "band"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()  # a pair may collide in several bands — verify once
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        SIMHASH_BITS,
+        max_hamming,
+        n_bands,
     )
 
 
@@ -1242,6 +1293,13 @@ def semantic_dedup(
     (embedding_near_dups) can blow up on a clustered corpus."""
     from pdftableextractor_spark.operators.similarity import knn_join
 
+    idt = dict(embeddings.dtypes)[id_col]
+    # bootstrap guard: an empty corpus has nothing to cluster and would
+    # crash the k-means init — the correct output is simply empty
+    if embeddings.isEmpty():
+        return embeddings.sparkSession.createDataFrame(
+            [], f"vec_id {idt}, component {idt}, keep boolean"
+        )
     nn = knn_join(
         embeddings,
         k=k,
@@ -1258,7 +1316,6 @@ def semantic_dedup(
         )
         .distinct()
     )
-    idt = dict(embeddings.dtypes)[id_col]
     # connected_components canonicalizes node ids as STRINGS (its min-label
     # is lexicographic: '103' < '14'); re-label each cluster with the
     # NUMERIC min member so the representative is the smallest vec_id —
@@ -1290,6 +1347,8 @@ def semantic_dedup_incremental(
     iters: int = 3,
     id_col: str = "vec_id",
     index_nprobe: int = 2,
+    corpus_n_cells: int | None = None,
+    corpus_cell_salt: int = 1,
 ) -> DataFrame:
     """Incremental SemDeDup — the production cadence where embedding
     batches arrive against a standing corpus (the semantic analog of
@@ -1325,6 +1384,16 @@ def semantic_dedup_incremental(
         knn_join_between,
     )
 
+    idt = dict(new_embeddings.dtypes)[id_col]
+    # bootstrap guards: an empty batch returns empty; an empty standing
+    # corpus (the FIRST batch of the cadence) means nothing can be "near
+    # old" — the within-batch dedup alone decides, with near_old=false
+    if new_embeddings.isEmpty():
+        return new_embeddings.sparkSession.createDataFrame(
+            [],
+            f"vec_id {idt}, component {idt}, near_old boolean, "
+            "keep boolean",
+        )
     sd = semantic_dedup(
         new_embeddings,
         threshold,
@@ -1334,6 +1403,13 @@ def semantic_dedup_incremental(
         iters=iters,
         id_col=id_col,
     )
+    if not isinstance(old, str) and old.isEmpty():
+        return sd.select(
+            "vec_id",
+            "component",
+            F.lit(False).alias("near_old"),
+            "keep",
+        )
     if isinstance(old, str):
         spark = new_embeddings.sparkSession
         nn_old = ivf_topk_indexed_batch(
@@ -1351,11 +1427,15 @@ def semantic_dedup_incremental(
             new_embeddings,
             old,
             k=1,
-            n_cells=n_cells,
+            # the STANDING corpus defines this fit's cell geometry — size
+            # it for the corpus (cells that fit an executor), not for the
+            # batch; corpus_cell_salt splits fat cells (result-identical)
+            n_cells=corpus_n_cells or n_cells,
             n_probe=n_probe,
             iters=iters,
             id_col=id_col,
             exclude_self=True,
+            cell_salt=corpus_cell_salt,
         )
     flagged = (
         nn_old.filter(F.col("cos") >= threshold)

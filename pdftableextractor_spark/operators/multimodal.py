@@ -696,6 +696,46 @@ PHASH_BITS = 60  # 6x11 grid -> 6 rows x 10 horizontal comparisons;
 # the same sign-safety rule as dedup.SIMHASH_BITS
 
 
+def _sig_kernel(sig_prefix: bytes, decode_hash, out_col: str):
+    """mapInPandas kernel FACTORY shared by the image and audio signature
+    scans: payloads matching ``sig_prefix`` hash through ``decode_hash``
+    (real=true); anything else — wrong container, hostile header, NULL —
+    degrades to a sha256-derived pseudo-hash (real=false): byte-identical
+    payloads still pair as exact dups, but no perceptual similarity is
+    ever claimed for them. One factory means the degrade semantics can
+    never fork between modalities."""
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, real = [], [], []
+            for aid, payload in zip(
+                pdf["asset_id"].values, pdf["payload"].values
+            ):
+                pb = bytes(payload) if payload is not None else b""
+                ids.append(aid)
+                if pb[: len(sig_prefix)] == sig_prefix:
+                    try:
+                        hashes.append(decode_hash(pb))
+                        real.append(True)
+                        continue
+                    except Exception:
+                        pass
+                hashes.append(
+                    int.from_bytes(hashlib.sha256(pb).digest()[:8], "big")
+                    >> (64 - PHASH_BITS)
+                )
+                real.append(False)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    out_col: pd.Series(hashes, dtype="int64"),
+                    "real": real,
+                }
+            )
+
+    return kern
+
+
 def image_dhash(px: np.ndarray) -> int:
     """60-bit difference hash of a decoded (h, w, ch) uint8 image: channel
     -mean grayscale, block-mean downsample to a 6x11 grid (images smaller
@@ -731,38 +771,9 @@ def image_dhash(px: np.ndarray) -> int:
     return h
 
 
-def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel behind image_near_dups: one 60-bit perceptual
-    hash per image payload. Real PNGs hash their decoded pixels
-    (real=true); undecodable/hostile payloads degrade to a sha256-derived
-    pseudo-hash (real=false) — still deterministic, so byte-identical
-    payloads pair up as exact dups, but no perceptual similarity."""
-    for pdf in batches:
-        ids, hashes, real = [], [], []
-        for aid, payload in zip(
-            pdf["asset_id"].values, pdf["payload"].values
-        ):
-            pb = bytes(payload) if payload is not None else b""
-            ids.append(aid)
-            if pb[:8] == PNG_SIG:
-                try:
-                    hashes.append(image_dhash(decode_png(pb)))
-                    real.append(True)
-                    continue
-                except Exception:
-                    pass
-            hashes.append(
-                int.from_bytes(hashlib.sha256(pb).digest()[:8], "big")
-                >> (64 - PHASH_BITS)
-            )
-            real.append(False)
-        yield pd.DataFrame(
-            {
-                "asset_id": ids,
-                "phash": pd.Series(hashes, dtype="int64"),
-                "real": real,
-            }
-        )
+_phash_kernel = _sig_kernel(
+    PNG_SIG, lambda pb: image_dhash(decode_png(pb)), "phash"
+)
 
 
 def image_phashes(assets: DataFrame) -> DataFrame:
@@ -772,72 +783,6 @@ def image_phashes(assets: DataFrame) -> DataFrame:
         "asset_id", "payload"
     ).mapInPandas(
         _phash_kernel, schema="asset_id string, phash long, real boolean"
-    )
-
-
-def _hamming_near_dup_pairs(
-    sigs: DataFrame,
-    hash_col: str,
-    bits: int,
-    max_hamming: int,
-    n_bands: int,
-) -> DataFrame:
-    """Generic multiband Hamming pair join over (asset_id, <hash_col>)
-    signatures — the simhash_near_dups_multiband shape shared by the
-    image and audio perceptual dedup paths: the ``bits``-bit signature
-    splits into ``n_bands`` disjoint bands; candidates agree on at least
-    one full band (pigeonhole: recall is EXACT for hamming <=
-    n_bands - 1, probabilistically high above), then one bit_count(xor)
-    verify per candidate. JVM codegen on bigints end to end; nothing is
-    quadratic in the corpus."""
-    band_bits = bits // n_bands
-    bands = sigs.select(
-        "asset_id",
-        hash_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        F.shiftright(F.col(hash_col), t * band_bits)
-                        .bitwiseAND(F.lit((1 << band_bits) - 1))
-                        .alias("band"),
-                    )
-                    for t in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
-        "asset_id",
-        hash_col,
-        F.col("bb.t").alias("t"),
-        F.col("bb.band").alias("band"),
-    )
-    a = bands.select(
-        F.col("asset_id").alias("asset_a"),
-        F.col(hash_col).alias("h_a"),
-        "t",
-        "band",
-    )
-    b = bands.select(
-        F.col("asset_id").alias("asset_b"),
-        F.col(hash_col).alias("h_b"),
-        "t",
-        "band",
-    )
-    return (
-        a.join(b, ["t", "band"])
-        .filter(F.col("asset_a") < F.col("asset_b"))
-        .select("asset_a", "asset_b", "h_a", "h_b")
-        .distinct()
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select(
-            "asset_a", "asset_b", F.col("hamming").cast("int").alias("hamming")
-        )
     )
 
 
@@ -851,10 +796,24 @@ def image_near_dups(
     little, or slightly edited): (asset_a, asset_b, hamming) with
     asset_a < asset_b and Hamming(phash) <= ``max_hamming``. The decode
     happens once per payload in the Arrow kernel; candidate generation
-    and verify are the shared multiband join
-    (``_hamming_near_dup_pairs``)."""
-    return _hamming_near_dup_pairs(
-        image_phashes(assets), "phash", PHASH_BITS, max_hamming, n_bands
+    and verify are the shared multiband pigeonhole join
+    (``dedup.hamming_near_dup_pairs``); pseudo-hashed undecodables only
+    pair exactly and never against real hashes (the ``real`` rule
+    documented there)."""
+    from pdftableextractor_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    return hamming_near_dup_pairs(
+        image_phashes(assets),
+        "phash",
+        PHASH_BITS,
+        max_hamming,
+        n_bands,
+        id_col="asset_id",
+        a_col="asset_a",
+        b_col="asset_b",
+        real_col="real",
     )
 
 
@@ -885,37 +844,9 @@ def audio_fingerprint(sig: np.ndarray, framerate: int) -> int:
     return h
 
 
-def _afp_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel behind audio_near_dups: one 60-bit fingerprint
-    per audio payload; real WAVs fingerprint their decoded samples
-    (real=true), undecodable payloads degrade to the sha pseudo-hash
-    (real=false, exact dups only)."""
-    for pdf in batches:
-        ids, hashes, real = [], [], []
-        for aid, payload in zip(
-            pdf["asset_id"].values, pdf["payload"].values
-        ):
-            pb = bytes(payload) if payload is not None else b""
-            ids.append(aid)
-            if pb[:4] == WAV_SIG:
-                try:
-                    hashes.append(audio_fingerprint(*decode_wav(pb)))
-                    real.append(True)
-                    continue
-                except Exception:
-                    pass
-            hashes.append(
-                int.from_bytes(hashlib.sha256(pb).digest()[:8], "big")
-                >> (64 - PHASH_BITS)
-            )
-            real.append(False)
-        yield pd.DataFrame(
-            {
-                "asset_id": ids,
-                "afp": pd.Series(hashes, dtype="int64"),
-                "real": real,
-            }
-        )
+_afp_kernel = _sig_kernel(
+    WAV_SIG, lambda pb: audio_fingerprint(*decode_wav(pb)), "afp"
+)
 
 
 def audio_fingerprints(assets: DataFrame) -> DataFrame:
@@ -936,7 +867,20 @@ def audio_near_dups(
     """Perceptual AUDIO near-duplicate pairs: same shape as
     ``image_near_dups`` over the energy-profile fingerprint — the same
     recording re-encoded at a different volume or with a short edit
-    pairs up; text/byte dedup can't see either."""
-    return _hamming_near_dup_pairs(
-        audio_fingerprints(assets), "afp", PHASH_BITS, max_hamming, n_bands
+    pairs up; text/byte dedup can't see either. Pseudo-hashed
+    undecodables pair exactly only (the shared ``real`` rule)."""
+    from pdftableextractor_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    return hamming_near_dup_pairs(
+        audio_fingerprints(assets),
+        "afp",
+        PHASH_BITS,
+        max_hamming,
+        n_bands,
+        id_col="asset_id",
+        a_col="asset_a",
+        b_col="asset_b",
+        real_col="real",
     )

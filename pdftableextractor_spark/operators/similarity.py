@@ -306,12 +306,6 @@ def knn_join(
     × 64 × 8 B ≈ 0.5 GB per task — sized for a 4 GB executor; the only
     corpus-scale shuffles are the two cell-keyed cogroups (1 + n_probe
     copies of the vectors)."""
-    from pdftableextractor_spark.kernels.vectors import (
-        knn_block_kernel,
-        nearest_centroid_udf,
-        nearest_centroids_udf,
-    )
-
     return knn_join_between(
         embeddings,
         embeddings,
@@ -370,10 +364,18 @@ def knn_join_between(
     if n_probe is None:
         n_probe = n_cells
     n_probe = min(n_probe, n_cells)
+    idt = dict(data.dtypes)[id_col]
+    qidt = dict(queries.dtypes)[id_col]
+    # bootstrap guard: an empty data side cannot seed a k-means fit
+    # (the centroid kernels would crash on a zero-row init) — the
+    # correct answer is simply "no neighbors". Costs one take(1) job.
+    if data.isEmpty():
+        return data.sparkSession.createDataFrame(
+            [], f"qid {qidt}, vec_id {idt}, cos double, rnk int"
+        )
     cents = kmeans_centroids(
         data, k=n_cells, iters=iters, id_col=id_col, seed=seed
     )
-    idt = dict(data.dtypes)[id_col]
     d = data.select(
         nearest_centroid_udf(cents)(F.col(emb_col)).alias("cell"),
         F.col(id_col).alias("vec_id"),
@@ -412,8 +414,7 @@ def knn_join_between(
         .cogroup(d.groupBy("cell"))
         .applyInPandas(
             knn_block_kernel(k, exclude_self=exclude_self),
-            schema=f"qid {dict(queries.dtypes)[id_col]}, vec_id {idt}, "
-            "cos double",
+            schema=f"qid {qidt}, vec_id {idt}, cos double",
         )
     )
     return _knn_reduce(cand, k)

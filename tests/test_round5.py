@@ -674,3 +674,59 @@ def test_audio_near_dups_volume_invariant(spark):
     assert pairs[("l", "q")] == 0
     assert ("j1", "j2") in pairs and pairs[("j1", "j2")] == 0
     assert not any("o" in p for p in pairs), f"unrelated audio paired: {pairs}"
+
+
+def test_semantic_dedup_bootstrap_empties(spark):
+    """First-batch cadence: an empty standing corpus means within-batch
+    dedup alone decides (near_old all false); empty batch and empty
+    corpus inputs return empty/complete results instead of crashing the
+    k-means init."""
+    from pdftableextractor_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    schema = "vec_id bigint, embedding array<float>"
+    empty = spark.createDataFrame([], schema)
+    new = _clustered_embeddings(spark, n_clusters=3, per_cluster=4)
+
+    assert semantic_dedup(empty, threshold=0.9).collect() == []
+    assert semantic_dedup_incremental(
+        empty, empty, threshold=0.9
+    ).collect() == []
+    out = semantic_dedup_incremental(
+        new, empty, threshold=0.9, k=3, n_cells=3, n_probe=None, iters=2
+    ).collect()
+    assert len(out) == 12
+    assert not any(r["near_old"] for r in out)
+    kept = sorted(r["vec_id"] for r in out if r["keep"])
+    assert kept == [0, 4, 8]  # one representative per planted cluster
+
+
+def test_hamming_pairs_pseudo_hash_rules(spark):
+    """The real/pseudo rule: pseudo-hashes (undecodable payloads) never
+    claim NEAR similarity — only exact (hamming 0) pseudo-pseudo pairs
+    survive, and real/pseudo never mix even at hamming 0."""
+    from pyspark.sql import functions as F
+
+    from pdftableextractor_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    rows = [
+        ("r1", 0b1010, True),
+        ("r2", 0b1011, True),    # near r1 (hamming 1): real-real OK
+        ("p1", 0b1010, False),   # == r1's hash but pseudo: must NOT pair
+        ("p2", 0b1010, False),   # == p1: exact pseudo-pseudo pair OK
+        ("p3", 0b1011, False),   # hamming 1 from p1: pseudo near — DROP
+    ]
+    sigs = spark.createDataFrame(rows, "asset_id string, h long, real boolean")
+    pairs = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in hamming_near_dup_pairs(
+            sigs, "h", 60, max_hamming=4, n_bands=5,
+            id_col="asset_id", a_col="asset_a", b_col="asset_b",
+            real_col="real",
+        ).collect()
+    }
+    assert pairs == {("r1", "r2"): 1, ("p1", "p2"): 0}, pairs
