@@ -15,6 +15,11 @@
         --query-table /root/testdata/sf0.1/embeddings.parquet \
         --output /tmp/knn --topk 10 --nprobe 4
 
+    # grow: append a new batch to the standing index (no refit; the
+    # batch joins the existing build stamp — see append_to_ivf_index)
+    spark-submit --py-files engine.zip jobs/ann.py append \
+        --input /data/new_batch --index /tmp/ivf
+
 (query needs --input too: the query VECTOR is fetched from the embeddings
 table by --query-id; only the candidate scan is served from the index.
 --query-table skips that and streams the given (vec_id, embedding) table
@@ -45,6 +50,13 @@ def main() -> None:
     b.add_argument("--k", type=int, default=16)
     b.add_argument("--iters", type=int, default=3)
     b.add_argument("--master", default=None)
+
+    ap = sub.add_parser("append")
+    ap.add_argument(
+        "--input", required=True, help="dir with embeddings.parquet to append"
+    )
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--master", default=None)
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
@@ -89,6 +101,21 @@ def main() -> None:
                     "cmd": "build",
                     "vectors": n,
                     "k": args.k,
+                    "sec": round(time.time() - t0, 3),
+                }
+            )
+        )
+    elif args.cmd == "append":
+        from pdftableextractor_spark.operators.similarity import (
+            append_to_ivf_index,
+        )
+
+        n = append_to_ivf_index(spark, emb, args.index)
+        print(
+            json.dumps(
+                {
+                    "cmd": "append",
+                    "appended": n,
                     "sec": round(time.time() - t0, 3),
                 }
             )

@@ -672,3 +672,52 @@ def ivf_topk_indexed_batch(
         )
     )
     return _knn_reduce(cand, k)
+
+
+def append_to_ivf_index(
+    spark,
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> int:
+    """APPEND a batch of vectors to a persisted IVF index without
+    refitting — the growth side of the incremental cadence
+    (``semantic_dedup_incremental``'s keep-set, a streaming micro-batch):
+    the new vectors are assigned to the EXISTING centroids (one Arrow
+    matmul pass over the batch) and appended to the cell-partitioned
+    vectors table carrying the index's build stamp, so every consistency
+    check (single stamp, stamp-k == centroid count, probed-partition
+    stamp) keeps passing and partition pruning keeps working. The
+    centroids table is untouched.
+
+    The stamp pins the FIT, not the row set — appended batches join the
+    existing build; when drift from the original fit matters (the cell
+    geometry slowly stops matching the data), rebuild with
+    ``build_ivf_index``, which stamps a NEW content-sensitive build_id.
+    Returns the number of appended rows. O(batch) work; the standing
+    index is never rescanned.
+
+    APPEND-ONLY semantics: a vec_id already present in the index gains a
+    SECOND row (parquet partitions can't replace in place without an
+    O(index) rewrite) — queries then surface both as candidates. The
+    intended flow avoids this by construction: append only the keep-set
+    of ``semantic_dedup_incremental`` (re-sent ids there are identical
+    content, so the duplicate row is at worst a redundant candidate).
+    For strict replace semantics, rebuild."""
+    from pdftableextractor_spark.kernels.vectors import nearest_centroid_udf
+    from pdftableextractor_spark.sources.tables import write_table
+
+    cents, _vecs_all, stamp = _validated_index(spark, path)
+    cent_rows = cents.orderBy("cell").collect()  # k x dim, driver-small
+    cent_list = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    assigned = new_embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        "embedding",
+        nearest_centroid_udf(cent_list)(F.col("embedding")).alias("cell"),
+        F.lit(stamp).alias("build_id"),
+    )
+    n = assigned.count()
+    write_table(
+        assigned, f"{path}/vectors", mode="append", partition_by=["cell"]
+    )
+    return n

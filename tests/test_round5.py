@@ -730,3 +730,59 @@ def test_hamming_pairs_pseudo_hash_rules(spark):
         ).collect()
     }
     assert pairs == {("r1", "r2"): 1, ("p1", "p2"): 0}, pairs
+
+
+def test_append_to_ivf_index_cadence(spark, tmp_path):
+    """Index growth without refit: appended vectors are query-visible,
+    carry the existing build stamp (all consistency checks keep
+    passing), land in the right cell partitions (pruning intact), and
+    the centroids are untouched. Composes with the incremental dedup:
+    append q70's keep-set, then the NEXT batch dedups against it."""
+    from pyspark.sql import functions as F
+
+    from pdftableextractor_spark.operators.dedup import (
+        semantic_dedup_incremental,
+    )
+    from pdftableextractor_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed_batch,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    old = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(old, idx, k=8, iters=2)
+
+    kept = semantic_dedup_incremental(
+        batch, idx, threshold=0.35, k=3, n_cells=8, n_probe=None,
+        iters=2, index_nprobe=8,
+    ).filter(F.col("keep"))
+    keep_ids = {r["vec_id"] for r in kept.collect()}
+    n = append_to_ivf_index(
+        spark, batch.join(kept.select("vec_id"), "vec_id", "left_semi"),
+        idx,
+    )
+    assert n == len(keep_ids) > 0
+
+    # appended vectors are findable: query the index BY an appended
+    # vector — its own row comes back at cos 1.0
+    probe_id = min(keep_ids)
+    out = ivf_topk_indexed_batch(
+        spark,
+        emb.filter(F.col("vec_id") == probe_id).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        ),
+        idx, k=1, nprobe=8,
+    ).collect()
+    assert out and out[0]["vec_id"] == probe_id and out[0]["cos"] == 1.0
+
+    # single stamp across old + appended rows; partition layout intact
+    from pdftableextractor_spark.sources.tables import read_path
+
+    vecs = read_path(spark, f"{idx}/vectors")
+    assert vecs.select("build_id").distinct().count() == 1
+    assert vecs.count() == 400 + n
