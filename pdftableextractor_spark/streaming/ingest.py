@@ -158,3 +158,101 @@ def stream_dedup_ingest(
     if available_now:
         q.awaitTermination()
     return q
+
+
+EMB_SCHEMA = "vec_id bigint, embedding array<float>"
+
+
+def stream_semantic_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    threshold: float,
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int | None = None,
+    iters: int = 2,
+    corpus_n_cells: int | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """SEMANTIC dedup-on-ingest — the embedding analog of
+    ``stream_dedup_ingest``: every micro-batch of (vec_id, embedding) is
+    SemDeDup-ed against the standing corpus before it lands.
+
+    Per micro-batch:
+      1. read the standing corpus (the output table), EXCLUDING this
+         batch_id's own partition — at-least-once replay must not
+         collide with its own previous (possibly partial) write;
+      2. ``semantic_dedup_incremental``: within-batch kNN clusters +
+         a probe against the standing corpus; a cluster with any old
+         neighbor >= threshold drops whole (old wins);
+      3. survivors land in the batch_id=N partition with dynamic
+         partition overwrite → replay REPLACES, never duplicates.
+
+    Scale note: the DataFrame probe re-fits k-means on the standing
+    corpus each batch (size the fit with ``corpus_n_cells``) — right for
+    a corpus that fits the cluster comfortably. When the corpus outgrows
+    per-batch fits, run the same cadence as batch jobs instead: maintain
+    a persisted IVF index, probe with ``ivf_topk_indexed_batch``
+    (O(batch) work), and grow it with ``append_to_ivf_index`` — the
+    batch-job path where the caller owns replay semantics (the index
+    append is not idempotent; this stream's partition-overwrite sink
+    is).
+
+    Output after the stream drains == a sequential batch-by-batch run of
+    ``semantic_dedup_incremental`` (the two-batch test pins it). Returns
+    the streaming query."""
+    from pdftableextractor_spark.operators.dedup import (
+        semantic_dedup_incremental,
+    )
+    from pdftableextractor_spark.sources.tables import write_table
+
+    src = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select("vec_id", "embedding").localCheckpoint()
+        old = (
+            _read_or_empty(spark, output_dir, EMB_SCHEMA + ", batch_id long")
+            .filter(F.col("batch_id") != batch_id)
+            .select("vec_id", "embedding")
+        )
+        sd = semantic_dedup_incremental(
+            batch,
+            old,
+            threshold,
+            k=k,
+            n_cells=n_cells,
+            n_probe=n_probe,
+            iters=iters,
+            corpus_n_cells=corpus_n_cells,
+        )
+        survivors = batch.join(
+            sd.filter(F.col("keep")).select("vec_id"), "vec_id", "left_semi"
+        )
+        write_table(
+            survivors.withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ),
+            output_dir,
+            mode="overwrite",
+            partition_by=["batch_id"],
+            partitionOverwriteMode="dynamic",
+        )
+
+    writer = src.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
