@@ -1,0 +1,129 @@
+"""spark-submit entrypoint: multimodal asset processing over a binary
+assets table — the media-side analog of jobs/curate.py.
+
+    spark-submit --py-files engine.zip jobs/media.py \
+        --input /root/testdata/sf0.01 --output /tmp/media
+
+One pass over assets(asset_id, kind, payload, meta):
+  1. featurize      Arrow-batched decode-or-degrade features for every
+                    payload (real PNG/WAV/AVI decodes, deterministic stub
+                    for everything else) -> <output>/features
+  2. image dedup    perceptual dhash pairs -> connected components ->
+                    keep the min-id representative per visual cluster
+  3. audio dedup    energy-profile fingerprint pairs, same clustering
+  4. frame sample   REAL frames for decodable videos (sha fallback rows
+                    for the rest) -> <output>/frames
+  5. keep list      assets minus non-representative image/audio dups ->
+                    <output>/kept
+
+`--assets` points at a real assets parquet; without it, a deterministic
+assets table is synthesized from the input documents (synth_assets — the
+same corpus the driver queries use). Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--input", required=True, help="dir with documents.parquet"
+    )
+    p.add_argument(
+        "--assets",
+        default=None,
+        help="real assets parquet (asset_id, kind, payload, meta); "
+        "default: synthesize deterministically from the input documents",
+    )
+    p.add_argument("--output", required=True)
+    p.add_argument("--max-hamming", type=int, default=4)
+    p.add_argument("--frame-every-ms", type=int, default=5000)
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from pdftableextractor_spark.operators.dedup import connected_components
+    from pdftableextractor_spark.operators.multimodal import (
+        audio_near_dups,
+        extract_features,
+        image_near_dups,
+        sample_frames_decoded,
+        synth_assets,
+    )
+    from pdftableextractor_spark.session import build_session
+    from pdftableextractor_spark.sources.tables import read_path, write_table
+
+    spark = build_session(app_name="media-job", master=args.master)
+    t0 = time.time()
+    if args.assets:
+        assets = read_path(spark, args.assets)
+    else:
+        docs = read_path(spark, f"{args.input}/documents.parquet").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+        assets = synth_assets(docs)
+    # the asset frame feeds four branches (features, two dedup paths,
+    # frame sampling) — materialize once (the curate-funnel lineage rule)
+    assets = assets.localCheckpoint()
+    by_kind = {
+        r["kind"]: r["n"]
+        for r in assets.groupBy("kind").agg(F.count("*").alias("n")).collect()
+    }
+
+    feats = extract_features(assets)
+    write_table(feats, f"{args.output}/features")
+    n_feats = read_path(spark, f"{args.output}/features").count()
+
+    losers = None
+    pair_counts = {}
+    for name, pairs in (
+        ("image", image_near_dups(assets, max_hamming=args.max_hamming)),
+        ("audio", audio_near_dups(assets, max_hamming=args.max_hamming)),
+    ):
+        pairs = pairs.localCheckpoint()
+        pair_counts[name] = pairs.count()
+        cc = connected_components(
+            pairs, a_col="asset_a", b_col="asset_b"
+        )
+        drop = cc.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("asset_id")
+        )
+        losers = drop if losers is None else losers.unionByName(drop)
+
+    kept = assets.join(losers, "asset_id", "left_anti")
+    write_table(
+        kept.select("asset_id", "kind", "meta"), f"{args.output}/kept"
+    )
+    n_kept = read_path(spark, f"{args.output}/kept").count()
+
+    frames = sample_frames_decoded(assets, every_ms=args.frame_every_ms)
+    write_table(frames, f"{args.output}/frames")
+    fr = read_path(spark, f"{args.output}/frames")
+    n_frames = fr.count()
+    n_real_frames = fr.filter(F.col("decoded")).count()
+
+    print(
+        json.dumps(
+            {
+                "assets": sum(by_kind.values()),
+                "by_kind": by_kind,
+                "features": n_feats,
+                "image_pairs": pair_counts.get("image", 0),
+                "audio_pairs": pair_counts.get("audio", 0),
+                "kept": n_kept,
+                "frames_sampled": n_frames,
+                "frames_decoded": n_real_frames,
+                "sec": round(time.time() - t0, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -786,3 +786,100 @@ def test_append_to_ivf_index_cadence(spark, tmp_path):
     vecs = read_path(spark, f"{idx}/vectors")
     assert vecs.select("build_id").distinct().count() == 1
     assert vecs.count() == 400 + n
+
+
+def test_media_job_end_to_end(spark, tmp_path):
+    """jobs/media.py over a planted assets table: features for every
+    payload, perceptual image+audio dedup keeps one representative per
+    cluster, real video frames decode, junk degrades — one subprocess
+    run, one JSON line."""
+    import io
+    import json
+    import os
+    import subprocess
+    import sys
+    import wave
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.test_curation import _encode_png
+
+    rng = np.random.RandomState(29)
+    px = rng.randint(0, 256, (24, 33, 3), dtype=np.uint8)
+    png_a = _encode_png(px, [0] * 24)
+    png_b = _encode_png(px, [2] * 24)          # same pixels -> dup of a
+    png_c = _encode_png(
+        rng.randint(0, 256, (24, 33, 3), dtype=np.uint8), [0] * 24
+    )
+
+    def wav_of(scale):
+        n = 61 * 64
+        t = np.arange(n)
+        amps = np.repeat(2000.0 + 300.0 * rng.permutation(61), 64)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(
+                (np.sin(2 * np.pi * 440 * t / 8000) * amps * scale)
+                .astype("<i2").tobytes()
+            )
+        return buf.getvalue()
+
+    state = rng.get_state()
+    wav_a = wav_of(1.0)
+    rng.set_state(state)                        # same amplitude profile
+    wav_b = wav_of(0.5)                         # half volume -> dup of a
+    wav_c = wav_of(1.0)                         # fresh profile (rng moved)
+
+    frames = [rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)
+              for _ in range(3)]
+    avi = _encode_avi(frames, fps=1)            # 3 frames @1fps
+
+    rows = [
+        ("i1", "image", png_a, 0),
+        ("i2", "image", png_b, 0),
+        ("i3", "image", png_c, 0),
+        ("a1", "audio", wav_a, 0),
+        ("a2", "audio", wav_b, 0),
+        ("a3", "audio", wav_c, 0),
+        ("v1", "video", avi, 2000),
+        ("x1", "image", b"junk bytes", 0),
+    ]
+    assets_path = str(tmp_path / "assets.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "asset_id": pa.array([r[0] for r in rows]),
+                "kind": pa.array([r[1] for r in rows]),
+                "payload": pa.array(
+                    [r[2] for r in rows], pa.binary()
+                ),
+                "meta": pa.array(
+                    [{"duration_ms": r[3]} for r in rows],
+                    pa.struct([("duration_ms", pa.int32())]),
+                ),
+            }
+        ),
+        assets_path,
+    )
+    out = str(tmp_path / "media")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    res = subprocess.run(
+        [sys.executable, "/root/repo/jobs/media.py", "--input", "ignored",
+         "--assets", assets_path, "--output", out, "--master", "local[4]",
+         "--frame-every-ms", "1000"],
+        capture_output=True, text=True, env=env, timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["assets"] == 8 and summary["features"] == 8
+    assert summary["image_pairs"] >= 1 and summary["audio_pairs"] >= 1
+    assert summary["frames_decoded"] == 3  # ts 0/1000/2000 all decode
+
+    kept = {r["asset_id"] for r in spark.read.parquet(f"{out}/kept").collect()}
+    assert "i1" in kept and "i2" not in kept     # min-id representative
+    assert "a1" in kept and "a2" not in kept
+    assert {"i3", "a3", "v1", "x1"} <= kept      # non-dups all survive
