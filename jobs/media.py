@@ -31,7 +31,10 @@ import time
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument(
-        "--input", required=True, help="dir with documents.parquet"
+        "--input",
+        default=None,
+        help="dir with documents.parquet (used to synthesize assets when "
+        "no --assets table is given)",
     )
     p.add_argument(
         "--assets",
@@ -41,9 +44,38 @@ def main() -> None:
     )
     p.add_argument("--output", required=True)
     p.add_argument("--max-hamming", type=int, default=4)
+    p.add_argument(
+        "--n-bands",
+        type=int,
+        default=None,
+        help="multiband blocking bands (must divide 60); default: the "
+        "smallest divisor of 60 above --max-hamming, so the pigeonhole "
+        "recall guarantee (exact <= n_bands-1) always covers the "
+        "requested threshold",
+    )
     p.add_argument("--frame-every-ms", type=int, default=5000)
     p.add_argument("--master", default=None)
     args = p.parse_args()
+    if not args.input and not args.assets:
+        p.error("one of --input (synthesize assets) or --assets is required")
+    if args.frame_every_ms < 1:
+        p.error("--frame-every-ms must be >= 1")
+    if args.n_bands is None:
+        # keep the exact-recall guarantee at the requested threshold
+        args.n_bands = next(
+            (b for b in (5, 6, 10, 12, 15, 20, 30, 60)
+             if b > args.max_hamming),
+            None,
+        )
+        if args.n_bands is None:
+            p.error("--max-hamming must be < 60")
+    if 60 % args.n_bands:
+        p.error(f"--n-bands {args.n_bands} must divide 60")
+    if args.max_hamming > args.n_bands - 1:
+        p.error(
+            f"--max-hamming {args.max_hamming} exceeds the exact-recall "
+            f"bound of {args.n_bands} bands (n_bands-1); raise --n-bands"
+        )
 
     from pyspark.sql import functions as F
 
@@ -82,8 +114,12 @@ def main() -> None:
     losers = None
     pair_counts = {}
     for name, pairs in (
-        ("image", image_near_dups(assets, max_hamming=args.max_hamming)),
-        ("audio", audio_near_dups(assets, max_hamming=args.max_hamming)),
+        ("image", image_near_dups(
+            assets, max_hamming=args.max_hamming, n_bands=args.n_bands
+        )),
+        ("audio", audio_near_dups(
+            assets, max_hamming=args.max_hamming, n_bands=args.n_bands
+        )),
     ):
         pairs = pairs.localCheckpoint()
         pair_counts[name] = pairs.count()
@@ -103,9 +139,13 @@ def main() -> None:
 
     frames = sample_frames_decoded(assets, every_ms=args.frame_every_ms)
     write_table(frames, f"{args.output}/frames")
-    fr = read_path(spark, f"{args.output}/frames")
-    n_frames = fr.count()
-    n_real_frames = fr.filter(F.col("decoded")).count()
+    fstats = read_path(spark, f"{args.output}/frames").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.col("decoded").cast("int")), F.lit(0)
+        ).alias("real"),
+    ).collect()[0]
+    n_frames, n_real_frames = int(fstats["n"]), int(fstats["real"])
 
     print(
         json.dumps(

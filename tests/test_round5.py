@@ -868,7 +868,7 @@ def test_media_job_end_to_end(spark, tmp_path):
     out = str(tmp_path / "media")
     env = dict(os.environ, PYTHONPATH="/root/repo")
     res = subprocess.run(
-        [sys.executable, "/root/repo/jobs/media.py", "--input", "ignored",
+        [sys.executable, "/root/repo/jobs/media.py",
          "--assets", assets_path, "--output", out, "--master", "local[4]",
          "--frame-every-ms", "1000"],
         capture_output=True, text=True, env=env, timeout=420,
