@@ -11,6 +11,8 @@ One pass over assets(asset_id, kind, payload, meta):
   2. image dedup    perceptual dhash pairs -> connected components ->
                     keep the min-id representative per visual cluster
   3. audio dedup    energy-profile fingerprint pairs, same clustering
+  3b. video dedup   frame-hash containment pairs (re-encodes AND clips
+                    cut from longer videos), same clustering
   4. frame sample   REAL frames for decodable videos (sha fallback rows
                     for the rest) -> <output>/frames
   5. keep list      assets minus non-representative image/audio dups ->
@@ -53,6 +55,12 @@ def main() -> None:
         "recall guarantee (exact <= n_bands-1) always covers the "
         "requested threshold",
     )
+    p.add_argument(
+        "--video-containment",
+        type=float,
+        default=0.8,
+        help="frame-hash containment threshold for video near-dup pairs",
+    )
     p.add_argument("--frame-every-ms", type=int, default=5000)
     p.add_argument("--master", default=None)
     args = p.parse_args()
@@ -86,6 +94,7 @@ def main() -> None:
         image_near_dups,
         sample_frames_decoded,
         synth_assets,
+        video_near_dups,
     )
     from pdftableextractor_spark.session import build_session
     from pdftableextractor_spark.sources.tables import read_path, write_table
@@ -120,6 +129,11 @@ def main() -> None:
         ("audio", audio_near_dups(
             assets, max_hamming=args.max_hamming, n_bands=args.n_bands
         )),
+        # video pairs by frame-hash containment (re-encodes AND clips);
+        # the CC below only needs the pair columns
+        ("video", video_near_dups(
+            assets, threshold=args.video_containment
+        ).select("asset_a", "asset_b")),
     ):
         pairs = pairs.localCheckpoint()
         pair_counts[name] = pairs.count()
@@ -155,6 +169,7 @@ def main() -> None:
                 "features": n_feats,
                 "image_pairs": pair_counts.get("image", 0),
                 "audio_pairs": pair_counts.get("audio", 0),
+                "video_pairs": pair_counts.get("video", 0),
                 "kept": n_kept,
                 "frames_sampled": n_frames,
                 "frames_decoded": n_real_frames,

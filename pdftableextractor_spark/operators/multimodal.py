@@ -884,3 +884,129 @@ def audio_near_dups(
         b_col="asset_b",
         real_col="real",
     )
+
+
+def _video_frame_hash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel behind video_near_dups: one row per DISTINCT
+    per-frame dhash of each decodable video (decode once, hash every
+    frame); undecodable payloads emit a single sha pseudo-hash row
+    (real=false) — byte-identical videos still pair exactly, nothing
+    perceptual is claimed."""
+    for pdf in batches:
+        ids, hashes, real = [], [], []
+        for aid, payload in zip(
+            pdf["asset_id"].values, pdf["payload"].values
+        ):
+            pb = bytes(payload) if payload is not None else b""
+            if pb[:4] == AVI_SIG and pb[8:12] == b"AVI ":
+                try:
+                    frames, _fps = decode_avi(pb)
+                    if frames.shape[0]:
+                        seen = {image_dhash(f) for f in frames}
+                        ids.extend([aid] * len(seen))
+                        hashes.extend(sorted(seen))
+                        real.extend([True] * len(seen))
+                        continue
+                except Exception:
+                    pass
+            ids.append(aid)
+            hashes.append(
+                int.from_bytes(hashlib.sha256(pb).digest()[:8], "big")
+                >> (64 - PHASH_BITS)
+            )
+            real.append(False)
+        yield pd.DataFrame(
+            {
+                "asset_id": ids,
+                "fhash": pd.Series(hashes, dtype="int64"),
+                "real": real,
+            }
+        )
+
+
+def video_frame_hashes(assets: DataFrame) -> DataFrame:
+    """(asset_id, fhash, real) — one row per distinct per-frame dhash of
+    each video asset; the signature scan of video-content dedup."""
+    return assets.filter(F.col("kind") == "video").select(
+        "asset_id", "payload"
+    ).mapInPandas(
+        _video_frame_hash_kernel,
+        schema="asset_id string, fhash long, real boolean",
+    )
+
+
+def video_near_dups(
+    assets: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Perceptual VIDEO near-duplicate pairs by frame-hash CONTAINMENT:
+    (asset_a, asset_b, shared, size_a, size_b, containment) where
+    containment = |A ∩ B| / min(|A|, |B|) over each video's DISTINCT
+    per-frame dhashes — the video dup classes that matter are a
+    re-encode (identical frame hashes, containment 1) and a CLIP cut
+    from a longer video (the clip's hashes are a subset — exactly the
+    asymmetric class Jaccard under-scores, the containment_pairs
+    argument applied to frames).
+
+    Shape: one decode per payload in the Arrow kernel; candidates form
+    ONLY through an exact equi-join on fhash (videos sharing no frame
+    hash never pair — scan-shaped, never all-pairs); the threshold
+    filter is pure-integer (shared·10^6 >= t_micro·min). Pseudo-hash
+    rows (undecodable payloads) pair only when byte-identical — their
+    single sha row matches iff the payloads match, which IS containment
+    1 — and never against real frame hashes (disjoint namespaces by the
+    real flag)."""
+    t_micro = int(round(float(threshold) * 1_000_000))
+    sigs = video_frame_hashes(assets).localCheckpoint(eager=True)
+    sizes = sigs.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("sz"), F.first("real").alias("real")
+    )
+    a = sigs.select(
+        F.col("asset_id").alias("asset_a"), "fhash",
+        F.col("real").alias("real_a"),
+    )
+    b = sigs.select(
+        F.col("asset_id").alias("asset_b"), "fhash",
+        F.col("real").alias("real_b"),
+    )
+    shared = (
+        a.join(b, "fhash")
+        .filter(
+            (F.col("asset_a") < F.col("asset_b"))
+            & (F.col("real_a") == F.col("real_b"))
+        )
+        .groupBy("asset_a", "asset_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(
+                F.col("asset_id").alias("asset_a"),
+                F.col("sz").alias("size_a"),
+            ),
+            "asset_a",
+        )
+        .join(
+            sizes.select(
+                F.col("asset_id").alias("asset_b"),
+                F.col("sz").alias("size_b"),
+            ),
+            "asset_b",
+        )
+        .filter(
+            F.col("shared") * F.lit(1_000_000)
+            >= F.lit(t_micro) * F.least("size_a", "size_b")
+        )
+    )
+    # exact-integer 6-digit HALF_UP (the containment_pairs pattern)
+    mn = F.least("size_a", "size_b").cast("decimal(38,0)")
+    x6 = F.col("shared").cast("decimal(38,0)") * F.lit(2_000_000) + mn
+    c6 = (x6 - F.pmod(x6, F.lit(2) * mn)) / (F.lit(2) * mn)
+    return out.select(
+        "asset_a",
+        "asset_b",
+        F.col("shared").cast("bigint").alias("shared"),
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+        (c6.cast("double") / F.lit(1_000_000.0)).alias("containment"),
+    )

@@ -837,6 +837,7 @@ def test_media_job_end_to_end(spark, tmp_path):
     frames = [rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)
               for _ in range(3)]
     avi = _encode_avi(frames, fps=1)            # 3 frames @1fps
+    avi_re = _encode_avi(frames, fps=2)         # re-encode -> dup of v1
 
     rows = [
         ("i1", "image", png_a, 0),
@@ -846,6 +847,7 @@ def test_media_job_end_to_end(spark, tmp_path):
         ("a2", "audio", wav_b, 0),
         ("a3", "audio", wav_c, 0),
         ("v1", "video", avi, 2000),
+        ("v2", "video", avi_re, 1000),
         ("x1", "image", b"junk bytes", 0),
     ]
     assets_path = str(tmp_path / "assets.parquet")
@@ -875,11 +877,73 @@ def test_media_job_end_to_end(spark, tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     summary = json.loads(res.stdout.strip().splitlines()[-1])
-    assert summary["assets"] == 8 and summary["features"] == 8
+    assert summary["assets"] == 9 and summary["features"] == 9
     assert summary["image_pairs"] >= 1 and summary["audio_pairs"] >= 1
-    assert summary["frames_decoded"] == 3  # ts 0/1000/2000 all decode
+    assert summary["video_pairs"] >= 1
+    assert summary["frames_decoded"] == 5  # v1: ts 0/1k/2k, v2: 0/1k
 
     kept = {r["asset_id"] for r in spark.read.parquet(f"{out}/kept").collect()}
     assert "i1" in kept and "i2" not in kept     # min-id representative
     assert "a1" in kept and "a2" not in kept
-    assert {"i3", "a3", "v1", "x1"} <= kept      # non-dups all survive
+    assert "v1" in kept and "v2" not in kept     # re-encode collapses
+    assert {"i3", "a3", "x1"} <= kept            # non-dups all survive
+
+
+def test_video_near_dups_reencode_and_clip(spark):
+    """Video-content dedup: a re-encoded copy (same frames, different
+    container padding) pairs at containment 1.0; a CLIP cut from a
+    longer video pairs at containment 1.0 on the clip side (the
+    asymmetric class frame-set Jaccard would under-score); unrelated
+    videos don't pair; byte-identical undecodable payloads pair; a
+    decodable video never pairs with a pseudo-hash row."""
+    from pdftableextractor_spark.operators.multimodal import (
+        video_frame_hashes,
+        video_near_dups,
+    )
+
+    rng = np.random.RandomState(31)
+    frames = [
+        np.repeat(
+            np.repeat(rng.randint(0, 256, (6, 11, 3), dtype=np.uint8), 4,
+                      axis=0), 4, axis=1,
+        )
+        for _ in range(6)
+    ]
+    full = _encode_avi(frames, fps=5)
+    reenc = _encode_avi(frames, fps=10)       # same frames, new container
+    clip = _encode_avi(frames[2:5], fps=5)    # 3-frame cut
+    other = _encode_avi(
+        [np.repeat(np.repeat(
+            rng.randint(0, 256, (6, 11, 3), dtype=np.uint8), 4, axis=0),
+            4, axis=1) for _ in range(4)],
+        fps=5,
+    )
+    junk = b"definitely not a riff"
+    assets = spark.createDataFrame(
+        [
+            ("full", "video", bytearray(full)),
+            ("re", "video", bytearray(reenc)),
+            ("clip", "video", bytearray(clip)),
+            ("other", "video", bytearray(other)),
+            ("j1", "video", bytearray(junk)),
+            ("j2", "video", bytearray(junk)),
+            ("im", "image", bytearray(full)),  # non-video excluded
+        ],
+        "asset_id string, kind string, payload binary",
+    )
+    sigs = video_frame_hashes(assets)
+    per = {r[0]: r[1] for r in
+           sigs.groupBy("asset_id").count().collect()}
+    assert per["full"] == 6 and per["clip"] == 3 and per["j1"] == 1
+    assert "im" not in per
+
+    pairs = {
+        tuple(sorted((r["asset_a"], r["asset_b"]))): r["containment"]
+        for r in video_near_dups(assets, threshold=0.8).collect()
+    }
+    assert pairs[("full", "re")] == 1.0
+    assert pairs[("clip", "full")] == 1.0
+    assert pairs[("clip", "re")] == 1.0
+    assert pairs[("j1", "j2")] == 1.0
+    assert not any("other" in p for p in pairs), pairs
+    assert len(pairs) == 4, pairs
