@@ -15,8 +15,8 @@ One pass over assets(asset_id, kind, payload, meta):
                     cut from longer videos), same clustering
   4. frame sample   REAL frames for decodable videos (sha fallback rows
                     for the rest) -> <output>/frames
-  5. keep list      assets minus non-representative image/audio dups ->
-                    <output>/kept
+  5. keep list      assets minus non-representative image/audio/video
+                    dups -> <output>/kept
 
 `--assets` points at a real assets parquet; without it, a deterministic
 assets table is synthesized from the input documents (synth_assets — the
@@ -108,7 +108,7 @@ def main() -> None:
             "doc_id", F.col("doc_id").cast("string")
         )
         assets = synth_assets(docs)
-    # the asset frame feeds four branches (features, two dedup paths,
+    # the asset frame feeds five branches (features, three dedup paths,
     # frame sampling) — materialize once (the curate-funnel lineage rule)
     assets = assets.localCheckpoint()
     by_kind = {
