@@ -68,6 +68,12 @@ def main() -> None:
         p.error("one of --input (synthesize assets) or --assets is required")
     if args.frame_every_ms < 1:
         p.error("--frame-every-ms must be >= 1")
+    if not (0.0 < args.video_containment <= 1.0):
+        p.error(
+            f"--video-containment must be in (0, 1], got "
+            f"{args.video_containment} (it is a containment FRACTION, "
+            "not a percentage)"
+        )
     if args.n_bands is None:
         # keep the exact-recall guarantee at the requested threshold
         args.n_bands = next(
@@ -120,29 +126,57 @@ def main() -> None:
     write_table(feats, f"{args.output}/features")
     n_feats = read_path(spark, f"{args.output}/features").count()
 
+    from pyspark.sql import Window
+
     losers = None
     pair_counts = {}
-    for name, pairs in (
+    # image/audio pairs are SYMMETRIC (mutually near-identical), so the
+    # min-id member represents its cluster; video containment pairs are
+    # ASYMMETRIC (a clip is contained in its source), so the cluster
+    # representative must be the SUPERSET — largest frame-hash set, min
+    # id on ties — or dropping "everything but the representative" could
+    # keep the clip and discard the full video's unique content
+    vp = video_near_dups(
+        assets, threshold=args.video_containment
+    ).localCheckpoint()
+    video_sizes = (
+        vp.select(F.col("asset_a").alias("node"), F.col("size_a").alias("sz"))
+        .unionByName(
+            vp.select(
+                F.col("asset_b").alias("node"), F.col("size_b").alias("sz")
+            )
+        )
+        .groupBy("node")
+        .agg(F.max("sz").alias("sz"))
+    )
+    for name, pairs, sizes in (
         ("image", image_near_dups(
             assets, max_hamming=args.max_hamming, n_bands=args.n_bands
-        )),
+        ), None),
         ("audio", audio_near_dups(
             assets, max_hamming=args.max_hamming, n_bands=args.n_bands
-        )),
-        # video pairs by frame-hash containment (re-encodes AND clips);
-        # the CC below only needs the pair columns
-        ("video", video_near_dups(
-            assets, threshold=args.video_containment
-        ).select("asset_a", "asset_b")),
+        ), None),
+        ("video", vp.select("asset_a", "asset_b"), video_sizes),
     ):
         pairs = pairs.localCheckpoint()
         pair_counts[name] = pairs.count()
         cc = connected_components(
             pairs, a_col="asset_a", b_col="asset_b"
         )
-        drop = cc.filter(F.col("node") != F.col("component")).select(
-            F.col("node").alias("asset_id")
-        )
+        if sizes is None:
+            drop = cc.filter(F.col("node") != F.col("component")).select(
+                F.col("node").alias("asset_id")
+            )
+        else:
+            w = Window.partitionBy("component").orderBy(
+                F.desc("sz"), F.asc("node")
+            )
+            drop = (
+                cc.join(sizes, "node")
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") > 1)
+                .select(F.col("node").alias("asset_id"))
+            )
         losers = drop if losers is None else losers.unionByName(drop)
 
     kept = assets.join(losers, "asset_id", "left_anti")

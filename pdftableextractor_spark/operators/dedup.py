@@ -1066,20 +1066,28 @@ def containment_pairs(
             >= F.lit(t_micro) * F.least("size_a", "size_b")
         )
     )
-    # exact-integer 6-digit rounding (the q61/q63 decimal(38,0) pattern):
-    # double round(x, 6) disagrees between Spark and DuckDB on real ratios
-    # like 323/640, so HALF_UP(inter*1e6/min) is computed with integer ops
-    mn = F.least("size_a", "size_b").cast("decimal(38,0)")
-    x6 = F.col("inter").cast("decimal(38,0)") * F.lit(2_000_000) + mn
-    c6 = (x6 - F.pmod(x6, F.lit(2) * mn)) / (F.lit(2) * mn)
     return out.select(
         "doc_a",
         "doc_b",
         F.col("inter").cast("bigint").alias("inter"),
         F.col("size_a").cast("bigint").alias("size_a"),
         F.col("size_b").cast("bigint").alias("size_b"),
-        (c6.cast("double") / F.lit(1_000_000.0)).alias("containment"),
+        exact_ratio_round6(
+            F.col("inter"), F.least("size_a", "size_b")
+        ).alias("containment"),
     )
+
+
+def exact_ratio_round6(numer, denom):
+    """HALF_UP(numer/denom) to 6 digits in EXACT integer arithmetic — the
+    q61/q63 decimal(38,0) pattern: double round(x, 6) disagrees between
+    Spark and DuckDB on real ratios like 323/640, so the rounding is
+    (2a·10^6 + d) div (2d), matching DuckDB HUGEINT HALF_UP bit-for-bit.
+    Shared by containment_pairs and the video frame-containment path."""
+    d = denom.cast("decimal(38,0)")
+    x6 = numer.cast("decimal(38,0)") * F.lit(2_000_000) + d
+    c6 = (x6 - F.pmod(x6, F.lit(2) * d)) / (F.lit(2) * d)
+    return c6.cast("double") / F.lit(1_000_000.0)
 
 
 def mask_duplicate_spans(

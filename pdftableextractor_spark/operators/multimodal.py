@@ -696,6 +696,16 @@ PHASH_BITS = 60  # 6x11 grid -> 6 rows x 10 horizontal comparisons;
 # the same sign-safety rule as dedup.SIMHASH_BITS
 
 
+def _pseudo_hash(pb: bytes) -> int:
+    """The sha256-derived 60-bit pseudo-hash for undecodable payloads —
+    ONE definition shared by every signature kernel so the degrade
+    semantics can never fork between modalities."""
+    return (
+        int.from_bytes(hashlib.sha256(pb).digest()[:8], "big")
+        >> (64 - PHASH_BITS)
+    )
+
+
 def _sig_kernel(sig_prefix: bytes, decode_hash, out_col: str):
     """mapInPandas kernel FACTORY shared by the image and audio signature
     scans: payloads matching ``sig_prefix`` hash through ``decode_hash``
@@ -720,10 +730,7 @@ def _sig_kernel(sig_prefix: bytes, decode_hash, out_col: str):
                         continue
                     except Exception:
                         pass
-                hashes.append(
-                    int.from_bytes(hashlib.sha256(pb).digest()[:8], "big")
-                    >> (64 - PHASH_BITS)
-                )
+                hashes.append(_pseudo_hash(pb))
                 real.append(False)
             yield pd.DataFrame(
                 {
@@ -910,10 +917,7 @@ def _video_frame_hash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
                 except Exception:
                     pass
             ids.append(aid)
-            hashes.append(
-                int.from_bytes(hashlib.sha256(pb).digest()[:8], "big")
-                >> (64 - PHASH_BITS)
-            )
+            hashes.append(_pseudo_hash(pb))
             real.append(False)
         yield pd.DataFrame(
             {
@@ -938,6 +942,7 @@ def video_frame_hashes(assets: DataFrame) -> DataFrame:
 def video_near_dups(
     assets: DataFrame,
     threshold: float = 0.8,
+    max_frame_df: int = 1000,
 ) -> DataFrame:
     """Perceptual VIDEO near-duplicate pairs by frame-hash CONTAINMENT:
     (asset_a, asset_b, shared, size_a, size_b, containment) where
@@ -948,19 +953,41 @@ def video_near_dups(
     asymmetric class Jaccard under-scores, the containment_pairs
     argument applied to frames).
 
-    Shape: one decode per payload in the Arrow kernel; candidates form
-    ONLY through an exact equi-join on fhash (videos sharing no frame
-    hash never pair — scan-shaped, never all-pairs); the threshold
-    filter is pure-integer (shared·10^6 >= t_micro·min). Pseudo-hash
-    rows (undecodable payloads) pair only when byte-identical — their
-    single sha row matches iff the payloads match, which IS containment
-    1 — and never against real frame hashes (disjoint namespaces by the
-    real flag)."""
+    STOP-FRAME rule (the CCNet line-frequency idea applied to frames):
+    a frame hash occurring in more than ``max_frame_df`` videos is
+    excluded from EVERY signature set before sizes are counted — solid
+    black/white frames, fades, and test cards hash to a handful of
+    values (a uniform frame dhashes to the constant 0), and without the
+    cap (a) the equi-join fans out quadratically through those hot keys
+    and (b) a one-frame solid-color video reaches containment 1.0
+    against every video containing any uniform frame. With the cap the
+    join's per-key fan-out is bounded by max_frame_df and "shared only
+    stop-frames" pairs disappear. A video whose every frame is a
+    stop-frame drops out of dedup entirely (no signature — it passes
+    through whatever keep-list consumes the pairs); byte-identical
+    undecodable payloads still pair exactly through their single pseudo
+    -hash row unless more than max_frame_df copies exist.
+
+    Shape: one decode per payload in the Arrow kernel; a frame-hash
+    document-frequency aggregate; candidates form ONLY through the
+    (df-capped) equi-join on fhash; the threshold filter is pure-integer
+    and the emitted containment uses the shared exact-int rounding
+    (``dedup.exact_ratio_round6``). Pseudo-hash rows never join real
+    frame hashes (the real flag must match)."""
+    from pdftableextractor_spark.operators.dedup import exact_ratio_round6
+
     t_micro = int(round(float(threshold) * 1_000_000))
-    sigs = video_frame_hashes(assets).localCheckpoint(eager=True)
-    sizes = sigs.groupBy("asset_id").agg(
-        F.count(F.lit(1)).alias("sz"), F.first("real").alias("real")
+    raw = video_frame_hashes(assets)
+    dfreq = raw.groupBy("fhash").agg(
+        F.count_distinct("asset_id").alias("__df")
     )
+    sigs = (
+        raw.join(dfreq, "fhash")
+        .filter(F.col("__df") <= max_frame_df)
+        .select("asset_id", "fhash", "real")
+        .localCheckpoint(eager=True)
+    )
+    sizes = sigs.groupBy("asset_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sigs.select(
         F.col("asset_id").alias("asset_a"), "fhash",
         F.col("real").alias("real_a"),
@@ -998,15 +1025,13 @@ def video_near_dups(
             >= F.lit(t_micro) * F.least("size_a", "size_b")
         )
     )
-    # exact-integer 6-digit HALF_UP (the containment_pairs pattern)
-    mn = F.least("size_a", "size_b").cast("decimal(38,0)")
-    x6 = F.col("shared").cast("decimal(38,0)") * F.lit(2_000_000) + mn
-    c6 = (x6 - F.pmod(x6, F.lit(2) * mn)) / (F.lit(2) * mn)
     return out.select(
         "asset_a",
         "asset_b",
         F.col("shared").cast("bigint").alias("shared"),
         F.col("size_a").cast("bigint").alias("size_a"),
         F.col("size_b").cast("bigint").alias("size_b"),
-        (c6.cast("double") / F.lit(1_000_000.0)).alias("containment"),
+        exact_ratio_round6(
+            F.col("shared"), F.least("size_a", "size_b")
+        ).alias("containment"),
     )

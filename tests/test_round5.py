@@ -838,6 +838,7 @@ def test_media_job_end_to_end(spark, tmp_path):
               for _ in range(3)]
     avi = _encode_avi(frames, fps=1)            # 3 frames @1fps
     avi_re = _encode_avi(frames, fps=2)         # re-encode -> dup of v1
+    avi_clip = _encode_avi(frames[:2], fps=1)   # clip, id sorts BELOW v1
 
     rows = [
         ("i1", "image", png_a, 0),
@@ -846,6 +847,7 @@ def test_media_job_end_to_end(spark, tmp_path):
         ("a1", "audio", wav_a, 0),
         ("a2", "audio", wav_b, 0),
         ("a3", "audio", wav_c, 0),
+        ("v0", "video", avi_clip, 1000),
         ("v1", "video", avi, 2000),
         ("v2", "video", avi_re, 1000),
         ("x1", "image", b"junk bytes", 0),
@@ -877,15 +879,18 @@ def test_media_job_end_to_end(spark, tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     summary = json.loads(res.stdout.strip().splitlines()[-1])
-    assert summary["assets"] == 9 and summary["features"] == 9
+    assert summary["assets"] == 10 and summary["features"] == 10
     assert summary["image_pairs"] >= 1 and summary["audio_pairs"] >= 1
-    assert summary["video_pairs"] >= 1
-    assert summary["frames_decoded"] == 5  # v1: ts 0/1k/2k, v2: 0/1k
+    assert summary["video_pairs"] >= 2
+    # v0: ts 0/1k, v1: ts 0/1k/2k, v2: 0/1k
+    assert summary["frames_decoded"] == 7
 
     kept = {r["asset_id"] for r in spark.read.parquet(f"{out}/kept").collect()}
     assert "i1" in kept and "i2" not in kept     # min-id representative
     assert "a1" in kept and "a2" not in kept
-    assert "v1" in kept and "v2" not in kept     # re-encode collapses
+    # the SUPERSET represents the video cluster: the clip v0 sorts below
+    # v1 by id, but v1 (more unique frames) must be the survivor
+    assert "v1" in kept and "v2" not in kept and "v0" not in kept
     assert {"i3", "a3", "x1"} <= kept            # non-dups all survive
 
 
