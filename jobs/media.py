@@ -12,7 +12,9 @@ One pass over assets(asset_id, kind, payload, meta):
                     keep the min-id representative per visual cluster
   3. audio dedup    energy-profile fingerprint pairs, same clustering
   3b. video dedup   frame-hash containment pairs (re-encodes AND clips
-                    cut from longer videos), same clustering
+                    cut from longer videos); containment is asymmetric
+                    and non-transitive, so NO clustering — each pair
+                    drops only its contained side
   4. frame sample   REAL frames for decodable videos (sha fallback rows
                     for the rest) -> <output>/frames
   5. keep list      assets minus non-representative image/audio/video
@@ -126,56 +128,47 @@ def main() -> None:
     write_table(feats, f"{args.output}/features")
     n_feats = read_path(spark, f"{args.output}/features").count()
 
-    from pyspark.sql import Window
-
     losers = None
     pair_counts = {}
-    # image/audio pairs are SYMMETRIC (mutually near-identical), so the
-    # min-id member represents its cluster; video containment pairs are
-    # ASYMMETRIC (a clip is contained in its source), so the cluster
-    # representative must be the SUPERSET — largest frame-hash set, min
-    # id on ties — or dropping "everything but the representative" could
-    # keep the clip and discard the full video's unique content
+    # image/audio pairs are SYMMETRIC (mutually near-identical), so
+    # connected components + min-id representative is sound. Video
+    # containment pairs are ASYMMETRIC and NOT transitive: a clip C
+    # contained in two UNRELATED full videos A and D would chain
+    # {A, C, D} into one component, and keeping a single representative
+    # would discard D's unique content. So video never clusters: each
+    # pair drops ONLY its contained (smaller frame-hash set) side; on
+    # equal sizes (mutual re-encodes, containment 1.0 both ways) the
+    # lexicographically larger id is dropped, mirroring the min-id rule.
+    # A video is removed iff it is the duplicate side of at least one
+    # pair — a strict superset is never dropped on a clip's account.
+    # (Equal-size chains A~B, B~C without an A~C pair drop B and C and
+    # keep A — same single-representative outcome CC would pick.)
     vp = video_near_dups(
         assets, threshold=args.video_containment
     ).localCheckpoint()
-    video_sizes = (
-        vp.select(F.col("asset_a").alias("node"), F.col("size_a").alias("sz"))
-        .unionByName(
-            vp.select(
-                F.col("asset_b").alias("node"), F.col("size_b").alias("sz")
-            )
-        )
-        .groupBy("node")
-        .agg(F.max("sz").alias("sz"))
-    )
-    for name, pairs, sizes in (
+    video_drop = vp.select(
+        F.when(F.col("size_a") < F.col("size_b"), F.col("asset_a"))
+        .when(F.col("size_b") < F.col("size_a"), F.col("asset_b"))
+        .otherwise(F.greatest("asset_a", "asset_b"))
+        .alias("asset_id")
+    ).distinct()
+    for name, pairs, drop in (
         ("image", image_near_dups(
             assets, max_hamming=args.max_hamming, n_bands=args.n_bands
         ), None),
         ("audio", audio_near_dups(
             assets, max_hamming=args.max_hamming, n_bands=args.n_bands
         ), None),
-        ("video", vp.select("asset_a", "asset_b"), video_sizes),
+        ("video", vp.select("asset_a", "asset_b"), video_drop),
     ):
         pairs = pairs.localCheckpoint()
         pair_counts[name] = pairs.count()
-        cc = connected_components(
-            pairs, a_col="asset_a", b_col="asset_b"
-        )
-        if sizes is None:
+        if drop is None:
+            cc = connected_components(
+                pairs, a_col="asset_a", b_col="asset_b"
+            )
             drop = cc.filter(F.col("node") != F.col("component")).select(
                 F.col("node").alias("asset_id")
-            )
-        else:
-            w = Window.partitionBy("component").orderBy(
-                F.desc("sz"), F.asc("node")
-            )
-            drop = (
-                cc.join(sizes, "node")
-                .withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") > 1)
-                .select(F.col("node").alias("asset_id"))
             )
         losers = drop if losers is None else losers.unionByName(drop)
 

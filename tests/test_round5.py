@@ -839,6 +839,17 @@ def test_media_job_end_to_end(spark, tmp_path):
     avi = _encode_avi(frames, fps=1)            # 3 frames @1fps
     avi_re = _encode_avi(frames, fps=2)         # re-encode -> dup of v1
     avi_clip = _encode_avi(frames[:2], fps=1)   # clip, id sorts BELOW v1
+    # v3 shares the clip's 2 frames plus 2 unique ones: v0 is contained
+    # in BOTH v1 and v3 (containment 1.0), but v1~v3 share only 2 of 3
+    # (0.667 < 0.8 -> no pair). Containment is not transitive — CC
+    # would chain {v0,v1,v2,v3} and discard v3's unique content; the
+    # per-pair contained-side rule must keep both fulls.
+    avi_other_full = _encode_avi(
+        frames[:2]
+        + [rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)
+           for _ in range(2)],
+        fps=1,
+    )
 
     rows = [
         ("i1", "image", png_a, 0),
@@ -850,6 +861,7 @@ def test_media_job_end_to_end(spark, tmp_path):
         ("v0", "video", avi_clip, 1000),
         ("v1", "video", avi, 2000),
         ("v2", "video", avi_re, 1000),
+        ("v3", "video", avi_other_full, 3000),
         ("x1", "image", b"junk bytes", 0),
     ]
     assets_path = str(tmp_path / "assets.parquet")
@@ -879,18 +891,21 @@ def test_media_job_end_to_end(spark, tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     summary = json.loads(res.stdout.strip().splitlines()[-1])
-    assert summary["assets"] == 10 and summary["features"] == 10
+    assert summary["assets"] == 11 and summary["features"] == 11
     assert summary["image_pairs"] >= 1 and summary["audio_pairs"] >= 1
-    assert summary["video_pairs"] >= 2
-    # v0: ts 0/1k, v1: ts 0/1k/2k, v2: 0/1k
-    assert summary["frames_decoded"] == 7
+    assert summary["video_pairs"] >= 3           # v0v1, v0v2, v0v3, v1v2
+    # v0: ts 0/1k, v1: ts 0/1k/2k, v2: 0/1k, v3: 0/1k/2k/3k
+    assert summary["frames_decoded"] == 11
 
     kept = {r["asset_id"] for r in spark.read.parquet(f"{out}/kept").collect()}
     assert "i1" in kept and "i2" not in kept     # min-id representative
     assert "a1" in kept and "a2" not in kept
-    # the SUPERSET represents the video cluster: the clip v0 sorts below
-    # v1 by id, but v1 (more unique frames) must be the survivor
-    assert "v1" in kept and "v2" not in kept and "v0" not in kept
+    # per-pair contained-side drops: the clip v0 loses to both fulls, the
+    # re-encode v2 loses the equal-size tie to v1; v3 (unrelated full
+    # that merely CONTAINS the same clip) must survive — CC over the
+    # non-transitive containment pairs would have chained it away
+    assert "v1" in kept and "v3" in kept
+    assert "v2" not in kept and "v0" not in kept
     assert {"i3", "a3", "x1"} <= kept            # non-dups all survive
 
 
