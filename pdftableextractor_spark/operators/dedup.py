@@ -1015,6 +1015,13 @@ def containment_pairs(
         # 50-query sweep, the bench loop) don't accumulate corpus-sized
         # caches. Cost: the shingle explode runs at call time, not first
         # action — callers always consume the result, so nothing is wasted.
+        # FAULT-TOLERANCE TRADE (applies to every localCheckpoint in this
+        # repo): lineage is truncated and blocks live only on executors,
+        # so losing an executor (preemption, dynamic-allocation
+        # decommission) fails the query instead of recomputing. Run these
+        # operators on reliable executors, or with
+        # spark.decommission.enabled block migration; for preemptible
+        # fleets swap in persist() + explicit unpersist at the call site.
         .localCheckpoint(eager=True)
     )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

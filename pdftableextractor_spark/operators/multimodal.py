@@ -100,12 +100,18 @@ def sample_frames(assets: DataFrame, every_ms: int = 5000) -> DataFrame:
     duration/every_ms parallel rows, not one task — the same skew posture
     as the pdf layout kernel."""
     v = assets.filter(F.col("kind") == "video")
+    # NULL handling mirrors _frame_sample_kernel exactly: a NULL
+    # duration coalesces to 0 (one ts=0 row, not sequence(0, NULL)
+    # exploding the video away) and a NULL payload falls back to empty
+    # bytes as the sha basis (a concrete fake frame, not a NULL frame)
     expanded = v.select(
         "asset_id",
         "payload",
         F.explode(
             F.sequence(
-                F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms)
+                F.lit(0),
+                F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+                F.lit(every_ms),
             )
         ).alias("ts_ms"),
     )
@@ -116,7 +122,9 @@ def sample_frames(assets: DataFrame, every_ms: int = 5000) -> DataFrame:
         F.unhex(
             F.sha2(
                 F.concat(
-                    F.col("payload"),
+                    F.coalesce(
+                        F.col("payload"), F.lit(b"").cast("binary")
+                    ),
                     F.encode(F.col("ts_ms").cast("string"), "utf-8"),
                 ),
                 256,
@@ -709,11 +717,13 @@ def _pseudo_hash(pb: bytes) -> int:
 def _sig_kernel(sig_prefix: bytes, decode_hash, out_col: str):
     """mapInPandas kernel FACTORY shared by the image and audio signature
     scans: payloads matching ``sig_prefix`` hash through ``decode_hash``
-    (real=true); anything else — wrong container, hostile header, NULL —
-    degrades to a sha256-derived pseudo-hash (real=false): byte-identical
-    payloads still pair as exact dups, but no perceptual similarity is
-    ever claimed for them. One factory means the degrade semantics can
-    never fork between modalities."""
+    (real=true); anything else — wrong container, hostile header, NULL,
+    or a ``decode_hash`` that returns None (a decodable payload whose
+    signature is DEGENERATE, e.g. flat-energy audio) — degrades to a
+    sha256-derived pseudo-hash (real=false): byte-identical payloads
+    still pair as exact dups, but no perceptual similarity is ever
+    claimed for them. One factory means the degrade semantics can never
+    fork between modalities."""
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -725,11 +735,13 @@ def _sig_kernel(sig_prefix: bytes, decode_hash, out_col: str):
                 ids.append(aid)
                 if pb[: len(sig_prefix)] == sig_prefix:
                     try:
-                        hashes.append(decode_hash(pb))
+                        h = decode_hash(pb)
+                    except Exception:
+                        h = None
+                    if h is not None:
+                        hashes.append(h)
                         real.append(True)
                         continue
-                    except Exception:
-                        pass
                 hashes.append(_pseudo_hash(pb))
                 real.append(False)
             yield pd.DataFrame(
@@ -824,16 +836,24 @@ def image_near_dups(
     )
 
 
-def audio_fingerprint(sig: np.ndarray, framerate: int) -> int:
+def audio_fingerprint(sig: np.ndarray, framerate: int) -> int | None:
     """60-bit energy-profile fingerprint of decoded PCM samples: the mono
     signal splits into 61 equal time windows; one bit per adjacent
     window pair (energy rising), packed MSB-first. Energy COMPARISONS
     are invariant under volume scaling, so the same recording at a
     different gain fingerprints identically; a localized edit flips only
     the bits of the touched windows. (framerate is part of the decoded
-    contract but does not enter the hash — the profile is positional.)"""
+    contract but does not enter the hash — the profile is positional.)
+
+    Returns None for DEGENERATE signals whose profile carries no
+    perceptual information — empty audio, or a flat-energy signal
+    (steady tone, constant-amplitude noise) where every comparison
+    lands the same way. Without the degrade, every unrelated
+    constant-energy recording would hash to the same all-zeros value
+    with real=true and be merged as a perceptual near-dup; None routes
+    them to the pseudo-hash path (byte-exact pairing only)."""
     if sig.shape[0] == 0:
-        return 0
+        return None
     mono = sig.mean(axis=1) if sig.shape[1] > 1 else sig[:, 0]
     nw = 61
     edges = np.linspace(0, len(mono), nw + 1).astype(int)
@@ -845,6 +865,8 @@ def audio_fingerprint(sig: np.ndarray, framerate: int) -> int:
          for i in range(nw)]
     )
     bits = e[1:] > e[:-1]  # 60 comparisons
+    if bool(bits.all()) or not bool(bits.any()):
+        return None  # flat (or strictly monotone) profile: no signal
     h = 0
     for b in bits:
         h = (h << 1) | int(b)
@@ -985,6 +1007,8 @@ def video_near_dups(
         raw.join(dfreq, "fhash")
         .filter(F.col("__df") <= max_frame_df)
         .select("asset_id", "fhash", "real")
+        # executor-loss caveat: see the FAULT-TOLERANCE TRADE note on
+        # dedup.containment_pairs (shared by every localCheckpoint here)
         .localCheckpoint(eager=True)
     )
     sizes = sigs.groupBy("asset_id").agg(F.count(F.lit(1)).alias("sz"))

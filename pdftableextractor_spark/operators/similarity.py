@@ -648,6 +648,8 @@ def ivf_topk_indexed_batch(
         F.explode(
             nearest_centroids_udf(cent_list, nprobe)(F.col(qemb_col))
         ).alias("cell"),
+        # executor-loss caveat: see the FAULT-TOLERANCE TRADE note on
+        # dedup.containment_pairs (shared by every localCheckpoint here)
     ).localCheckpoint(eager=True)
     probed = sorted(
         int(r["cell"]) for r in qry.select("cell").distinct().collect()
@@ -715,7 +717,11 @@ def append_to_ivf_index(
         "embedding",
         nearest_centroid_udf(cent_list)(F.col("embedding")).alias("cell"),
         F.lit(stamp).alias("build_id"),
-    )
+    ).localCheckpoint(eager=True)
+    # one materialization feeds both the count and the write — without it
+    # the centroid-assignment pass (and input scan) runs twice, and a
+    # nondeterministic input lineage could make the reported count
+    # diverge from what was actually appended
     n = assigned.count()
     write_table(
         assigned, f"{path}/vectors", mode="append", partition_by=["cell"]

@@ -676,6 +676,66 @@ def test_audio_near_dups_volume_invariant(spark):
     assert not any("o" in p for p in pairs), f"unrelated audio paired: {pairs}"
 
 
+def test_audio_flat_energy_degrades_to_pseudo_hash(spark):
+    """Constant-energy signals (steady tones, constant-amplitude noise)
+    have a flat energy profile — every adjacent-window comparison lands
+    the same way, so the fingerprint would be the all-zeros value for
+    ALL of them and unrelated recordings would merge as perceptual
+    near-dups. Degenerate profiles must degrade to the pseudo-hash path
+    (real=false): byte-identical copies still pair, unrelated flat
+    signals never do. Empty audio degrades the same way."""
+    import io
+    import wave
+
+    from pdftableextractor_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fingerprints,
+        audio_near_dups,
+        decode_wav,
+    )
+
+    def wav_from(samples, fr=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(fr)
+            w.writeframes(
+                np.clip(samples, -32767, 32767).astype("<i2").tobytes()
+            )
+        return buf.getvalue()
+
+    # 500 Hz / 250 Hz at 8 kHz put exact whole periods in each 64-sample
+    # fingerprint window, so every window's energy is IDENTICAL — the
+    # true flat-profile degeneracy (a 440 Hz tone's windows each cut the
+    # period differently and carry deterministic phase-jitter bits)
+    n = 61 * 64
+    t = np.arange(n)
+    tone_500 = wav_from(np.sin(2 * np.pi * 500 * t / 8000) * 12000)
+    tone_250 = wav_from(np.sin(2 * np.pi * 250 * t / 8000) * 12000)
+    empty = wav_from(np.zeros(0))
+    assert audio_fingerprint(*decode_wav(tone_500)) is None
+    assert audio_fingerprint(*decode_wav(empty)) is None
+
+    assets = spark.createDataFrame(
+        [
+            ("t1", "audio", bytearray(tone_500)),
+            ("t1b", "audio", bytearray(tone_500)),  # byte-identical copy
+            ("t2", "audio", bytearray(tone_250)),   # unrelated steady tone
+            ("e", "audio", bytearray(empty)),
+        ],
+        "asset_id string, kind string, payload binary",
+    )
+    sigs = {r["asset_id"]: (r["afp"], r["real"])
+            for r in audio_fingerprints(assets).collect()}
+    assert all(not v[1] for v in sigs.values()), sigs  # all degraded
+    pairs = {
+        (r["asset_a"], r["asset_b"])
+        for r in audio_near_dups(assets, max_hamming=4).collect()
+    }
+    assert pairs == {("t1", "t1b")}, pairs  # exact-only pairing survives
+
+
 def test_semantic_dedup_bootstrap_empties(spark):
     """First-batch cadence: an empty standing corpus means within-batch
     dedup alone decides (near_old all false); empty batch and empty
