@@ -1278,7 +1278,7 @@ def semantic_dedup(
     threshold: float,
     k: int = 3,
     n_cells: int = 16,
-    n_probe: int | None = None,
+    n_probe: int | None = 2,
     iters: int = 3,
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -1297,10 +1297,13 @@ def semantic_dedup(
     ``filter(keep)`` IS the deduped corpus and the (vec_id, component)
     pairs are the cluster map.
 
-    Shape: one ``knn_join`` (cell-blocked cogroup Arrow kernel — exact
-    when ``n_probe=None`` probes every cell, the oracle-parity default;
-    set n_probe small for the 100 TB path where recall tracks the
-    k-means fit) + one ``connected_components`` pass (large-star/
+    Shape: one ``knn_join`` (cell-blocked cogroup Arrow kernel). The
+    DEFAULT ``n_probe=2`` is the scale path — each query probes only its
+    2 nearest cells, so total compute is ~(2/n_cells)·n² and recall
+    tracks the k-means fit; pass ``n_probe=None`` EXPLICITLY for exact
+    mode (probe every cell — blocked brute force, O(n²) compute:
+    distributed and memory-safe but quadratic, only for oracle parity
+    or small corpora) + one ``connected_components`` pass (large-star/
     small-star, O(log n) rounds) + one left join back. Nothing is
     quadratic in the corpus; the kNN truncation bounds edges at
     corpus·k, so CC state is O(n·k) however dense the similarity graph
@@ -1358,7 +1361,7 @@ def semantic_dedup_incremental(
     threshold: float,
     k: int = 3,
     n_cells: int = 16,
-    n_probe: int | None = None,
+    n_probe: int | None = 2,
     iters: int = 3,
     id_col: str = "vec_id",
     index_nprobe: int = 2,
@@ -1389,11 +1392,15 @@ def semantic_dedup_incremental(
     ``filter(keep)`` is what enters the corpus; append those embeddings
     to the standing index on the same cadence the signature store grows.
 
-    Exactness: with ``n_probe=None`` (batch side) the within-batch graph
-    is exact, and the DataFrame old-side probe is exact too — top-1 is
-    the true max cosine, so "top-1 >= τ" == "any old neighbor >= τ" (the
-    oracle formulation). The index path approximates with
-    ``index_nprobe`` cells — the 100 TB cadence."""
+    Exactness: the DEFAULT ``n_probe=2`` is the scale path (approximate
+    within-batch graph, recall tracks the fit). Pass ``n_probe=None``
+    EXPLICITLY for exact mode: the within-batch graph is exact, and the
+    DataFrame old-side probe is exact too — top-1 is the true max
+    cosine, so "top-1 >= τ" == "any old neighbor >= τ" (the oracle
+    formulation). Exact mode is blocked brute force — O(batch²) within
+    the batch — so reserve it for oracle parity or small batches. The
+    index path approximates with ``index_nprobe`` cells — the 100 TB
+    cadence."""
     from pdftableextractor_spark.operators.similarity import (
         ivf_topk_indexed_batch,
         knn_join_between,

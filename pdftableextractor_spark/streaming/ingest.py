@@ -171,7 +171,7 @@ def stream_semantic_ingest(
     threshold: float,
     k: int = 3,
     n_cells: int = 8,
-    n_probe: int | None = None,
+    n_probe: int | None = 2,
     iters: int = 2,
     corpus_n_cells: int | None = None,
     available_now: bool = True,

@@ -736,6 +736,34 @@ def test_audio_flat_energy_degrades_to_pseudo_hash(spark):
     assert pairs == {("t1", "t1b")}, pairs  # exact-only pairing survives
 
 
+def test_semantic_layer_defaults_are_scale_safe():
+    """Defaults ARE the API: every entry point into the semantic layer
+    must default to the bounded multi-probe path (n_probe=2 — compute
+    ~(n_probe/n_cells)·n²), never to exact mode (n_probe=None = blocked
+    all-pairs brute force, O(n²) however the cells are laid out). Exact
+    mode stays available but only by EXPLICIT n_probe=None — the oracle
+    -parity queries and the planted tests pass it themselves."""
+    import inspect
+
+    from pdftableextractor_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+    from pdftableextractor_spark.operators.similarity import knn_join
+    from pdftableextractor_spark.streaming.ingest import (
+        stream_semantic_ingest,
+    )
+
+    for fn in (semantic_dedup, semantic_dedup_incremental, knn_join,
+               stream_semantic_ingest):
+        default = inspect.signature(fn).parameters["n_probe"].default
+        assert default == 2, (
+            f"{fn.__name__} defaults n_probe={default!r}; the default "
+            "must be the bounded scale path (2), exact mode only by "
+            "explicit n_probe=None"
+        )
+
+
 def test_semantic_dedup_bootstrap_empties(spark):
     """First-batch cadence: an empty standing corpus means within-batch
     dedup alone decides (near_old all false); empty batch and empty
