@@ -467,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings").select("vec_id", "embedding"),
             k=8,
             threshold=0.35,
+            # oracle replicates the full-corpus Lloyd fit (see q39 note)
+            fit_sample_per_cell=None,
         )
     )
 
@@ -579,8 +581,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # kmeans cell assignment (IVF without labels): deterministic Lloyd
     # iterations over the embeddings table, labels IGNORED
+    # fit_sample_per_cell=None: the oracle unrolls Lloyd over the WHOLE
+    # table, so the engine must fit full-corpus too (the sampled default
+    # is the scale path, explicitly opted out for parity — same rule as
+    # n_probe=None on the exact-mode queries)
     q["q39_kmeans_cells"] = lambda s, d: kmeans_cells(
-        _t(s, d, "embeddings").select("vec_id", "embedding"), k=8, iters=3
+        _t(s, d, "embeddings").select("vec_id", "embedding"), k=8, iters=3,
+        fit_sample_per_cell=None,
     ).select("vec_id", F.col("cell").cast("bigint").alias("cell"))
 
     # ----- text analysis -----

@@ -358,6 +358,7 @@ def embedding_near_dups_unlabeled(
     threshold: float = 0.99,
     iters: int = 3,
     n_probe: int = 2,
+    fit_sample_per_cell: int | None = 256,
 ) -> DataFrame:
     """embedding_near_dups for corpora with NO cluster/label column: k-means
     cells (similarity.kmeans_centroids, deterministic) become the blocking
@@ -372,7 +373,10 @@ def embedding_near_dups_unlabeled(
     from pdftableextractor_spark.kernels.vectors import nearest_centroids_udf
     from pdftableextractor_spark.operators.similarity import kmeans_centroids
 
-    cents = kmeans_centroids(embeddings, k=k, iters=iters)
+    cents = kmeans_centroids(
+        embeddings, k=k, iters=iters,
+        fit_sample_per_cell=fit_sample_per_cell,
+    )
     probed = embeddings.select(
         "vec_id",
         "embedding",

@@ -108,6 +108,7 @@ def kmeans_cells(
     iters: int = 3,
     id_col: str = "vec_id",
     seed: int = 9,
+    fit_sample_per_cell: int | None = 256,
 ) -> DataFrame:
     """Lloyd k-means cell assignment for IVF over an UNLABELED corpus
     (round-1 verdict fix #7: ivf_topk previously needed a pre-labeled
@@ -130,7 +131,8 @@ def kmeans_cells(
     from pdftableextractor_spark.kernels.vectors import nearest_centroid_udf
 
     cents = kmeans_centroids(
-        embeddings, k=k, iters=iters, id_col=id_col, seed=seed
+        embeddings, k=k, iters=iters, id_col=id_col, seed=seed,
+        fit_sample_per_cell=fit_sample_per_cell,
     )
     return embeddings.withColumn(
         "cell", nearest_centroid_udf(cents)(F.col("embedding"))
@@ -143,30 +145,52 @@ def kmeans_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     seed: int = 9,
+    fit_sample_per_cell: int | None = 256,
 ) -> list:
     """The Lloyd loop itself: returns the final k centroids as a Python
     list (k × dim doubles — driver-small by construction; they must be
     broadcast into the assignment closure anyway). Exposed separately so
     multi-probe consumers (dedup.embedding_near_dups_unlabeled) can assign
-    each vector to its top-n cells from the SAME fit."""
+    each vector to its top-n cells from the SAME fit.
+
+    SAMPLED FIT (the default): the loop runs over a deterministic
+    md5-ordered sample of ``fit_sample_per_cell * k`` vectors, not the
+    full corpus — ONE bounded corpus pass materializes the sample, then
+    every Lloyd iteration scans only the sample. The centroids only
+    define the partitioning geometry (exactness comes from the probe
+    side: n_probe=None is fit-independent), and ~256 points per cell
+    pin a cell mean as well as the full corpus does; fitting on
+    everything costs ``iters`` full corpus scans with a driver barrier
+    each — 3 wasted 100 TB passes just to place cells.
+    ``fit_sample_per_cell=None`` restores the full-corpus fit (the
+    oracle-parity setting — DuckDB oracles unroll Lloyd over the whole
+    table). The sample is the md5-order PREFIX, so the k init seeds are
+    identical in both modes and a sample that covers the whole corpus
+    reproduces the full fit exactly (up to float summation order).
+    Scale note: the md5-ordered limit is a per-partition top-N + one
+    sample-sized reduce; for k ~ 10^6 cells prefilter with a hash
+    threshold on md5 before the sort instead."""
     from pdftableextractor_spark.kernels.vectors import nearest_centroid_udf
 
-    init = (
-        embeddings.select(id_col, "embedding")
-        .orderBy(
-            F.md5(
-                F.concat(
-                    F.lit(f"km:{seed}:"), F.col(id_col).cast("string")
-                )
-            ),
-            F.col(id_col),
-        )
-        .limit(k)
-        .collect()
+    md5_order = F.md5(
+        F.concat(F.lit(f"km:{seed}:"), F.col(id_col).cast("string"))
     )
+    ordered = embeddings.select(id_col, "embedding").orderBy(
+        md5_order, F.col(id_col)
+    )
+    if fit_sample_per_cell is not None:
+        # executor-loss caveat: see the FAULT-TOLERANCE TRADE note on
+        # dedup.containment_pairs (shared by every localCheckpoint here)
+        fit = ordered.limit(
+            max(k, fit_sample_per_cell * k)
+        ).localCheckpoint(eager=True)
+        init = fit.orderBy(md5_order, F.col(id_col)).limit(k).collect()
+    else:
+        fit = embeddings
+        init = ordered.limit(k).collect()
     cents = [[float(x) for x in r["embedding"]] for r in init]
     for _ in range(iters):
-        assigned = embeddings.withColumn(
+        assigned = fit.withColumn(
             "cell", nearest_centroid_udf(cents)(F.col("embedding"))
         )
         new = centroid_mean(assigned).collect()
@@ -265,6 +289,7 @@ def knn_join(
     emb_col: str = "embedding",
     seed: int = 9,
     cell_salt: int = 1,
+    fit_sample_per_cell: int | None = 256,
 ) -> DataFrame:
     """Distributed k-NN JOIN: every vector's top-``k`` cosine neighbors in
     ONE job — the SemDeDup-style semantic-dedup / clustering primitive
@@ -318,6 +343,7 @@ def knn_join(
         seed=seed,
         exclude_self=True,
         cell_salt=cell_salt,
+        fit_sample_per_cell=fit_sample_per_cell,
     )
 
 
@@ -333,6 +359,7 @@ def knn_join_between(
     seed: int = 9,
     exclude_self: bool = False,
     cell_salt: int = 1,
+    fit_sample_per_cell: int | None = 256,
 ) -> DataFrame:
     """Two-frame k-NN join: each QUERY vector's top-``k`` neighbors among
     the DATA vectors — ``knn_join`` is the self-join special case, and
@@ -374,7 +401,8 @@ def knn_join_between(
             [], f"qid {qidt}, vec_id {idt}, cos double, rnk int"
         )
     cents = kmeans_centroids(
-        data, k=n_cells, iters=iters, id_col=id_col, seed=seed
+        data, k=n_cells, iters=iters, id_col=id_col, seed=seed,
+        fit_sample_per_cell=fit_sample_per_cell,
     )
     d = data.select(
         nearest_centroid_udf(cents)(F.col(emb_col)).alias("cell"),
@@ -458,6 +486,7 @@ def build_ivf_index(
     iters: int = 3,
     id_col: str = "vec_id",
     seed: int = 9,
+    fit_sample_per_cell: int | None = 256,
 ) -> None:
     """Build and PERSIST an IVF index — the build-once / query-many split
     that ANN needs at corpus scale (rebuilding k-means per query, as
@@ -473,7 +502,10 @@ def build_ivf_index(
     storage-format seam (parquet here, Iceberg in production)."""
     from pdftableextractor_spark.sources.tables import write_table
 
-    cents = kmeans_centroids(embeddings, k=k, iters=iters, id_col=id_col, seed=seed)
+    cents = kmeans_centroids(
+        embeddings, k=k, iters=iters, id_col=id_col, seed=seed,
+        fit_sample_per_cell=fit_sample_per_cell,
+    )
     spark = embeddings.sparkSession
     # consistency stamp: a rebuild that dies between the two writes would
     # otherwise leave new centroids next to the previous run's vectors and

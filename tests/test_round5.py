@@ -85,6 +85,40 @@ def test_knn_join_recall_on_clustered_corpus(spark):
     assert recall >= 0.9, f"recall {recall:.3f} on planted clusters"
 
 
+def test_kmeans_sampled_fit(spark):
+    """The default SAMPLED fit: (a) a sample that covers the whole corpus
+    reproduces the full-corpus fit (same row set, float-order noise
+    only); (b) a genuinely bounded sample (a small fraction of the
+    corpus) still places cells well enough that the n_probe=2 path keeps
+    recall on planted clusters — the fit defines geometry only, and
+    ~per_cell points pin a cell mean. The bounded fit is the whole
+    point: iters full-corpus scans collapse to one bounded pass."""
+    from pdftableextractor_spark.operators.similarity import (
+        kmeans_centroids,
+        knn_join,
+    )
+
+    emb = _clustered_embeddings(spark, n_clusters=10, per_cluster=40)
+    full = kmeans_centroids(emb, k=10, iters=2, fit_sample_per_cell=None)
+    covering = kmeans_centroids(emb, k=10, iters=2,
+                                fit_sample_per_cell=256)  # 2560 >= 400
+    assert np.allclose(np.array(full), np.array(covering))
+
+    # bounded: 6 per cell = 60 of 400 vectors ever seen by the fit
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in knn_join(emb, k=5, n_cells=10, n_probe=None, iters=2)
+        .collect()
+    }
+    appr = {
+        (r["qid"], r["vec_id"])
+        for r in knn_join(emb, k=5, n_cells=10, n_probe=2, iters=2,
+                          fit_sample_per_cell=6).collect()
+    }
+    recall = len(appr & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} with bounded sampled fit"
+
+
 def test_knn_join_hygiene_and_plan(spark):
     """No self-pairs, no duplicate (qid, vec_id), ranks contiguous from 1,
     every query present; the plan runs the cogrouped Arrow kernel with no
