@@ -121,17 +121,27 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 # subsumed-by or strictly simpler than an in-window query and driver-green in
 # a previous round — they still run in the per-session sf0.001 preflight
 DRIVER_TAIL = [
-    # round-5 rotation: 8 of the round-4 tail (q04/q05/q09/q10/q12/q19/
-    # q22/q24) are back inside the window this round; these 8 stay out one
-    # more round and rotate back next round
-    "q20_simhash",
-    "q21_simhash_pairs",
-    "q26_token_count",
-    "q29_fingerprint",
-    "q43_line_doc_freq",
-    "q54_temperature_mix",
-    "q56_corpus_stats",
-    "q57_vocab_topk",
+    # round-6 rotation: the 8 r3-era entries (q20/q21/q26/q29/q43/q54/
+    # q56/q57) are back inside the window this round as promised in r5;
+    # the 8 below were rotated IN last round, all carry fresh green r5
+    # driver rows, and step out for one round — each is subsumed by an
+    # in-window query:
+    # q04 line numbering (W1) and q05 context frames (W2) are the window
+    # ingredients q16/q38 rebuild end-to-end; q09 top-1 (O3) is q16's
+    # max_by argmax; q10 top-k (O4) is q67's window-free per-group
+    # reduce; q12 grid pivot (A2) runs inside q17's extraction pipeline;
+    # q19 minhash signatures are stage one of q55's incremental store;
+    # q22 shingle-Jaccard pairs share the tokenize→shingle→pair
+    # machinery q64's containment PPJoin tightens; q24 brute cosine
+    # top-k is q25's IVF probe without the pruning (same kernel)
+    "q04_line_numbering",
+    "q05_context_window",
+    "q09_top1_per_group",
+    "q10_topk_per_group",
+    "q12_grid_pivot",
+    "q19_minhash_sig",
+    "q22_ngram_jaccard",
+    "q24_cosine_topk",
     # demoted this round to make room (each r4-driver-green, stable since
     # r2/r3, and subsumed by an in-window query): q01-q03/q06 are the
     # normalize/length/footnote/dedup ingredients the q16/q36/q37/q38
