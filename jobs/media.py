@@ -64,12 +64,30 @@ def main() -> None:
         help="frame-hash containment threshold for video near-dup pairs",
     )
     p.add_argument("--frame-every-ms", type=int, default=5000)
+    p.add_argument(
+        "--video-hash-every-ms",
+        type=int,
+        default=None,
+        help="hash one frame per this many ms for video dedup signatures "
+        "(default: every frame; see video_near_dups for the clip-recall "
+        "trade)",
+    )
+    p.add_argument(
+        "--video-max-frames",
+        type=int,
+        default=None,
+        help="cap on hashed frames per video (evenly spaced)",
+    )
     p.add_argument("--master", default=None)
     args = p.parse_args()
     if not args.input and not args.assets:
         p.error("one of --input (synthesize assets) or --assets is required")
     if args.frame_every_ms < 1:
         p.error("--frame-every-ms must be >= 1")
+    if args.video_hash_every_ms is not None and args.video_hash_every_ms < 1:
+        p.error("--video-hash-every-ms must be >= 1")
+    if args.video_max_frames is not None and args.video_max_frames < 1:
+        p.error("--video-max-frames must be >= 1")
     if not (0.0 < args.video_containment <= 1.0):
         p.error(
             f"--video-containment must be in (0, 1], got "
@@ -144,7 +162,10 @@ def main() -> None:
     # (Equal-size chains A~B, B~C without an A~C pair drop B and C and
     # keep A — same single-representative outcome CC would pick.)
     vp = video_near_dups(
-        assets, threshold=args.video_containment
+        assets,
+        threshold=args.video_containment,
+        hash_every_ms=args.video_hash_every_ms,
+        max_frames=args.video_max_frames,
     ).localCheckpoint()
     video_drop = vp.select(
         F.when(F.col("size_a") < F.col("size_b"), F.col("asset_a"))

@@ -915,48 +915,79 @@ def audio_near_dups(
     )
 
 
-def _video_frame_hash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel behind video_near_dups: one row per DISTINCT
-    per-frame dhash of each decodable video (decode once, hash every
-    frame); undecodable payloads emit a single sha pseudo-hash row
-    (real=false) — byte-identical videos still pair exactly, nothing
-    perceptual is claimed."""
-    for pdf in batches:
-        ids, hashes, real = [], [], []
-        for aid, payload in zip(
-            pdf["asset_id"].values, pdf["payload"].values
-        ):
-            pb = bytes(payload) if payload is not None else b""
-            if pb[:4] == AVI_SIG and pb[8:12] == b"AVI ":
-                try:
-                    frames, _fps = decode_avi(pb)
-                    if frames.shape[0]:
-                        seen = {image_dhash(f) for f in frames}
-                        ids.extend([aid] * len(seen))
-                        hashes.extend(sorted(seen))
-                        real.extend([True] * len(seen))
-                        continue
-                except Exception:
-                    pass
-            ids.append(aid)
-            hashes.append(_pseudo_hash(pb))
-            real.append(False)
-        yield pd.DataFrame(
-            {
-                "asset_id": ids,
-                "fhash": pd.Series(hashes, dtype="int64"),
-                "real": real,
-            }
-        )
+def _video_frame_hash_kernel(
+    hash_every_ms: int | None = None, max_frames: int | None = None
+):
+    """mapInPandas kernel FACTORY behind video_near_dups: one row per
+    DISTINCT per-frame dhash of each decodable video (decode once);
+    undecodable payloads emit a single sha pseudo-hash row (real=false)
+    — byte-identical videos still pair exactly, nothing perceptual is
+    claimed.
+
+    ``hash_every_ms`` hashes only time-sampled frames (stride
+    round(fps·ms/1000), matching _frame_sample_kernel's timestamp math)
+    and ``max_frames`` caps the hashed count per video with evenly
+    spaced indices — both bound the decode+hash kernel cost to O(1) per
+    video instead of O(frames). Default (None/None) hashes every frame."""
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, real = [], [], []
+            for aid, payload in zip(
+                pdf["asset_id"].values, pdf["payload"].values
+            ):
+                pb = bytes(payload) if payload is not None else b""
+                if pb[:4] == AVI_SIG and pb[8:12] == b"AVI ":
+                    try:
+                        frames, fps = decode_avi(pb)
+                        n = frames.shape[0]
+                        if n:
+                            idx = np.arange(n)
+                            if hash_every_ms is not None and fps:
+                                step = max(
+                                    1,
+                                    int(round(fps * hash_every_ms / 1000.0)),
+                                )
+                                idx = idx[::step]
+                            if max_frames is not None and len(idx) > max_frames:
+                                idx = idx[
+                                    np.linspace(
+                                        0, len(idx) - 1, max_frames
+                                    ).astype(int)
+                                ]
+                            seen = {image_dhash(frames[i]) for i in idx}
+                            ids.extend([aid] * len(seen))
+                            hashes.extend(sorted(seen))
+                            real.extend([True] * len(seen))
+                            continue
+                    except Exception:
+                        pass
+                ids.append(aid)
+                hashes.append(_pseudo_hash(pb))
+                real.append(False)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "fhash": pd.Series(hashes, dtype="int64"),
+                    "real": real,
+                }
+            )
+
+    return kern
 
 
-def video_frame_hashes(assets: DataFrame) -> DataFrame:
+def video_frame_hashes(
+    assets: DataFrame,
+    hash_every_ms: int | None = None,
+    max_frames: int | None = None,
+) -> DataFrame:
     """(asset_id, fhash, real) — one row per distinct per-frame dhash of
-    each video asset; the signature scan of video-content dedup."""
+    each video asset; the signature scan of video-content dedup. See
+    ``video_near_dups`` for the sampling knobs' recall trade."""
     return assets.filter(F.col("kind") == "video").select(
         "asset_id", "payload"
     ).mapInPandas(
-        _video_frame_hash_kernel,
+        _video_frame_hash_kernel(hash_every_ms, max_frames),
         schema="asset_id string, fhash long, real boolean",
     )
 
@@ -965,6 +996,8 @@ def video_near_dups(
     assets: DataFrame,
     threshold: float = 0.8,
     max_frame_df: int = 1000,
+    hash_every_ms: int | None = None,
+    max_frames: int | None = None,
 ) -> DataFrame:
     """Perceptual VIDEO near-duplicate pairs by frame-hash CONTAINMENT:
     (asset_a, asset_b, shared, size_a, size_b, containment) where
@@ -995,11 +1028,27 @@ def video_near_dups(
     (df-capped) equi-join on fhash; the threshold filter is pure-integer
     and the emitted containment uses the shared exact-int rounding
     (``dedup.exact_ratio_round6``). Pseudo-hash rows never join real
-    frame hashes (the real flag must match)."""
+    frame hashes (the real flag must match).
+
+    SAMPLING KNOBS (``hash_every_ms``, ``max_frames``): real video runs
+    hours at 24-60 fps — hashing every frame makes the signature kernel
+    O(frames) per video while the containment math tolerates sampling.
+    With ``hash_every_ms`` only one frame per time bucket is hashed and
+    ``max_frames`` caps a video's signature outright. RECALL TRADE: a
+    re-encode still pairs at 1.0 (same frames, same fps → the same
+    stride picks the same frames), but a CLIP whose cut point is not
+    stride-aligned samples a phase-shifted frame set — containment can
+    drop to 0 even for a true clip. Sample when the corpus is re-encode
+    -dominated or the stride is much shorter than a scene (adjacent
+    frames hash alike, so scene overlap still intersects); hash every
+    frame (the default) when exact clip detection matters more than
+    kernel cost."""
     from pdftableextractor_spark.operators.dedup import exact_ratio_round6
 
     t_micro = int(round(float(threshold) * 1_000_000))
-    raw = video_frame_hashes(assets)
+    raw = video_frame_hashes(
+        assets, hash_every_ms=hash_every_ms, max_frames=max_frames
+    )
     dfreq = raw.groupBy("fhash").agg(
         F.count_distinct("asset_id").alias("__df")
     )

@@ -1089,3 +1089,55 @@ def test_video_near_dups_reencode_and_clip(spark):
     assert pairs[("j1", "j2")] == 1.0
     assert not any("other" in p for p in pairs), pairs
     assert len(pairs) == 4, pairs
+
+
+def test_video_frame_hash_sampling_bounds_kernel_cost(spark):
+    """hash_every_ms / max_frames bound the signature kernel to O(1)
+    hashed frames per video instead of O(frames): a long synthetic video
+    emits a bounded signature; a re-encode still pairs at 1.0 with
+    sampling on (same frames + same fps → the same stride), and a
+    stride-ALIGNED clip still pairs (the documented trade is about
+    unaligned cut points)."""
+    from pdftableextractor_spark.operators.multimodal import (
+        video_frame_hashes,
+        video_near_dups,
+    )
+
+    rng = np.random.RandomState(37)
+    frames = [
+        np.repeat(
+            np.repeat(rng.randint(0, 256, (6, 11, 3), dtype=np.uint8), 4,
+                      axis=0), 4, axis=1,
+        )
+        for _ in range(120)
+    ]
+    long = _encode_avi(frames, fps=10)           # 12 s, 120 frames
+    long_re = _encode_avi(frames, fps=10)        # same frames, re-mux
+    clip = _encode_avi(frames[:40], fps=10)      # prefix clip (aligned)
+    assets = spark.createDataFrame(
+        [
+            ("long", "video", bytearray(long)),
+            ("re", "video", bytearray(long_re)),
+            ("clip", "video", bytearray(clip)),
+        ],
+        "asset_id string, kind string, payload binary",
+    )
+    # hash one frame per second: 120 frames -> 12 hashed; max_frames
+    # tightens further
+    per = {r[0]: r[1] for r in video_frame_hashes(
+        assets, hash_every_ms=1000
+    ).groupBy("asset_id").count().collect()}
+    assert per["long"] <= 12 and per["clip"] <= 4, per
+    per_cap = {r[0]: r[1] for r in video_frame_hashes(
+        assets, max_frames=5
+    ).groupBy("asset_id").count().collect()}
+    assert all(v <= 5 for v in per_cap.values()), per_cap
+
+    pairs = {
+        tuple(sorted((r["asset_a"], r["asset_b"]))): r["containment"]
+        for r in video_near_dups(
+            assets, threshold=0.8, hash_every_ms=1000
+        ).collect()
+    }
+    assert pairs[("long", "re")] == 1.0
+    assert pairs[("clip", "long")] == 1.0
