@@ -20,6 +20,13 @@
     spark-submit --py-files engine.zip jobs/ann.py append \
         --input /data/new_batch --index /tmp/ivf
 
+    # refit trigger: cell-balance health of an append-grown index;
+    # with --rebuild, refit in place from the current corpus when the
+    # max/median cell-size ratio exceeds the bound
+    spark-submit --py-files engine.zip jobs/ann.py check \
+        --index /tmp/ivf --max-over-median 4 \
+        --rebuild --input /root/testdata/sf0.1 --k 64
+
 (query needs --input too: the query VECTOR is fetched from the embeddings
 table by --query-id; only the candidate scan is served from the index.
 --query-table skips that and streams the given (vec_id, embedding) table
@@ -58,6 +65,31 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--master", default=None)
 
+    c = sub.add_parser("check")
+    c.add_argument("--index", required=True)
+    c.add_argument(
+        "--max-over-median",
+        type=float,
+        default=4.0,
+        help="cell-balance bound: flag needs_rebuild when the largest "
+        "cell exceeds this multiple of the median cell size",
+    )
+    c.add_argument(
+        "--rebuild",
+        action="store_true",
+        help="when the check flags needs_rebuild, refit the index in "
+        "place from --input (build_ivf_index over the CURRENT corpus; "
+        "stamps a new build_id, torn-rebuild checks stay sound)",
+    )
+    c.add_argument(
+        "--input",
+        default=None,
+        help="dir with embeddings.parquet — required with --rebuild",
+    )
+    c.add_argument("--k", type=int, default=16)
+    c.add_argument("--iters", type=int, default=3)
+    c.add_argument("--master", default=None)
+
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
     q.add_argument("--input", required=True, help="dir with embeddings.parquet")
@@ -88,9 +120,53 @@ def main() -> None:
 
     spark = build_session(app_name=f"ann-{args.cmd}", master=args.master)
     t0 = time.time()
-    emb = read_path(spark, f"{args.input}/embeddings.parquet").select(
-        "vec_id", "embedding"
-    )
+    emb = None
+    if args.input:
+        emb = read_path(spark, f"{args.input}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+
+    if args.cmd == "check":
+        from pdftableextractor_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_drift_report,
+        )
+
+        def _jsonable(rep):
+            # max_over_median is inf for the collapsed-median degenerate
+            # case; bare Infinity is not valid JSON
+            return {
+                k: ("inf" if v == float("inf") else v)
+                for k, v in rep.items()
+            }
+
+        report = ivf_drift_report(
+            spark, args.index, max_over_median=args.max_over_median
+        )
+        rebuilt = False
+        if report["needs_rebuild"] and args.rebuild:
+            if emb is None:
+                raise SystemExit("check --rebuild requires --input")
+            build_ivf_index(emb, args.index, k=args.k, iters=args.iters)
+            rebuilt = True
+            report = {
+                "pre_rebuild": _jsonable(report),
+                **ivf_drift_report(
+                    spark, args.index, max_over_median=args.max_over_median
+                ),
+            }
+        print(
+            json.dumps(
+                {
+                    "cmd": "check",
+                    **_jsonable(report),
+                    "rebuilt": rebuilt,
+                    "sec": round(time.time() - t0, 3),
+                }
+            )
+        )
+        spark.stop()
+        return
 
     if args.cmd == "build":
         build_ivf_index(emb, args.index, k=args.k, iters=args.iters)

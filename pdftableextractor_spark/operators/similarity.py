@@ -759,3 +759,84 @@ def append_to_ivf_index(
         assigned, f"{path}/vectors", mode="append", partition_by=["cell"]
     )
     return n
+
+
+def ivf_cell_stats(spark, path: str) -> DataFrame:
+    """Per-cell occupancy of a persisted IVF index: (cell, n_vectors),
+    one row per CENTROID (empty cells surface as n_vectors = 0 — an
+    appended-into index can strand cells the data has drifted away
+    from, and those are exactly the drift signal).
+
+    Scale shape: ``cell`` is the vectors table's PARTITION column, so
+    the count scan projects zero data columns — at 100 TB this reads
+    parquet footers/row-group metadata per partition, never embedding
+    bytes. The result is k rows (driver-small by construction)."""
+    cents, vecs_all, _stamp = _validated_index(spark, path)
+    return _cell_stats_frame(cents, vecs_all)
+
+
+def _cell_stats_frame(cents: DataFrame, vecs_all: DataFrame) -> DataFrame:
+    counts = vecs_all.select("cell").groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    return (
+        cents.select("cell")
+        .join(counts, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce(F.col("n_vectors"), F.lit(0))
+            .cast("long")
+            .alias("n_vectors"),
+        )
+    )
+
+
+def ivf_drift_report(
+    spark, path: str, max_over_median: float = 4.0
+) -> dict:
+    """The append-only index's REFIT TRIGGER: summarize cell balance and
+    flag when the fit no longer matches the data.
+
+    ``append_to_ivf_index`` grows the index against FROZEN centroids;
+    as the corpus drifts from the original fit, new vectors pile into
+    the few cells nearest the drifted mass — probe cost for queries in
+    that region degrades toward a corpus scan. The standard health
+    metric is the max/median cell-size ratio (a balanced k-means fit
+    keeps it near 1; each appended batch that lands lopsidedly pushes
+    it up). Returns::
+
+        {"build_id", "k", "total_vectors", "max_cell", "median_cell",
+         "max_over_median", "empty_cells", "needs_rebuild"}
+
+    ``needs_rebuild`` is True when max/median exceeds the bound (or
+    when the median is 0 while vectors exist — mass collapsed into a
+    minority of cells, the degenerate extreme). The caller rebuilds
+    with ``build_ivf_index`` over the CURRENT corpus, which refits
+    centroids and stamps a new content-sensitive build_id, so the
+    torn-rebuild checks stay sound across the refit. O(k) driver
+    state; the counting scan is metadata-cheap (see ivf_cell_stats)."""
+    cents, vecs_all, stamp = _validated_index(spark, path)
+    stats = _cell_stats_frame(cents, vecs_all)
+    row = stats.agg(
+        F.sum("n_vectors").alias("total"),
+        F.max("n_vectors").alias("mx"),
+        F.expr("percentile(n_vectors, 0.5)").alias("med"),
+        F.sum(
+            F.when(F.col("n_vectors") == 0, 1).otherwise(0)
+        ).alias("empty"),
+        F.count(F.lit(1)).alias("k"),
+    ).collect()[0]
+    total = int(row["total"] or 0)
+    mx = int(row["mx"] or 0)
+    med = float(row["med"] or 0.0)
+    ratio = (mx / med) if med > 0 else (float("inf") if mx > 0 else 0.0)
+    return {
+        "build_id": stamp,
+        "k": int(row["k"]),
+        "total_vectors": total,
+        "max_cell": mx,
+        "median_cell": med,
+        "max_over_median": round(ratio, 3) if med > 0 else ratio,
+        "empty_cells": int(row["empty"]),
+        "needs_rebuild": bool(ratio > max_over_median),
+    }
