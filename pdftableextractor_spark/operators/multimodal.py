@@ -1,8 +1,9 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-PNG images decode to GENUINE pixels with a pure-stdlib codec (``decode_png``:
-zlib inflate + scanline unfilter — no PIL needed), RIFF/WAVE PCM audio
+PNG and baseline-JPEG images decode to GENUINE pixels with pure-stdlib
+codecs (``decode_png``: zlib inflate + scanline unfilter; ``decode_jpeg``:
+Huffman entropy decode + batched matrix IDCT — no PIL needed), RIFF/WAVE PCM audio
 decodes to GENUINE samples (``decode_wav``: the stdlib ``wave`` module —
 no soundfile needed), and uncompressed-DIB RIFF/AVI video decodes to
 GENUINE frames (``decode_avi``: a RIFF chunk walk, the WAV container
@@ -369,6 +370,325 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px
 
 
+JPEG_SIG = b"\xff\xd8\xff"  # SOI + first marker prefix
+# decode cap: same 64 MiB rule as PNG_AREA_MAX, applied to the LARGEST
+# allocation on the decode path (MCU-padded component planes + the
+# upsampled RGB output), checked from the SOF header BEFORE any plane
+# or coefficient allocation — SOF dimensions are attacker-controlled
+JPEG_AREA_MAX = 1 << 26
+
+# zigzag scan order: entry k of the coefficient stream lands at
+# (row, col) _JPEG_ZZ[k]. Derived, not transcribed: anti-diagonal s,
+# ascending row on odd diagonals, descending on even (ITU T.81 fig. 5)
+_JPEG_ZZ = [
+    (r, s - r)
+    for s in range(15)
+    for r in (
+        range(max(0, s - 7), min(7, s) + 1)
+        if s % 2
+        else reversed(range(max(0, s - 7), min(7, s) + 1))
+    )
+]
+
+# 8x8 DCT basis with the c(u)/2 normalization folded in:
+# spatial = C.T @ coeff @ C  (IDCT), coeff = C @ spatial @ C.T (FDCT)
+_DCT_BASIS = np.array(
+    [
+        [
+            0.5
+            * (0.7071067811865476 if u == 0 else 1.0)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _JpegBits:
+    """MSB-first bit reader over a de-stuffed entropy segment."""
+
+    __slots__ = ("d", "pos", "bit")
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.pos = 0
+        self.bit = 0
+
+    def read(self) -> int:
+        if self.pos >= len(self.d):
+            raise ValueError("JPEG bitstream exhausted mid-block")
+        b = (self.d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_n(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read()
+        return v
+
+
+def _jpeg_huff_table(counts: list[int], symbols: bytes) -> dict:
+    """Canonical Huffman decode table: (code_length, code) → symbol."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | bits.read()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """Sign-extend a SIZE-bit magnitude (ITU T.81 F.2.2.1 EXTEND)."""
+    return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Pure-stdlib BASELINE JPEG decode (SOF0: sequential DCT, 8-bit,
+    Huffman): marker walk → per-segment Huffman entropy decode (byte
+    de-stuffing, DRI/RSTn restart handling, per-component DC
+    prediction) → dequantize + de-zigzag → batched matrix IDCT per
+    component → chroma upsample (integer sampling ratios via repeat)
+    → JFIF YCbCr→RGB. Returns (h, w, 3) uint8, or (h, w, 1) for
+    single-component greyscale. Progressive (SOF2), extended/12-bit
+    (SOF1/5-15), and arithmetic-coded JPEGs raise NotImplementedError —
+    the same honest codec boundary as interlaced PNG and compressed
+    AVI; a production deployment swaps in libjpeg/PIL, same contract.
+    Allocation is bounded from the SOF header BEFORE any plane is
+    materialized (JPEG_AREA_MAX — the PNG_AREA_MAX rule)."""
+    import struct
+
+    if payload[:3] != JPEG_SIG:
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
+    restart_interval = 0
+    frame = None  # (h, w, comps) from SOF0
+    scan = None  # (comp table assignment, entropy-segment list)
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        m = payload[pos + 1]
+        if m == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if m == 0xDB:  # DQT: one or more tables
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq:  # 16-bit table
+                    vals = np.frombuffer(
+                        seg[i : i + 128], dtype=">u2"
+                    ).astype(np.int32)
+                    i += 128
+                else:
+                    vals = np.frombuffer(
+                        seg[i : i + 64], dtype=np.uint8
+                    ).astype(np.int32)
+                    i += 64
+                if vals.size != 64:
+                    raise ValueError("truncated DQT")
+                qt[tq] = vals
+        elif m == 0xC4:  # DHT: one or more tables
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                counts = list(seg[i + 1 : i + 17])
+                n = sum(counts)
+                syms = seg[i + 17 : i + 17 + n]
+                if len(syms) != n:
+                    raise ValueError("truncated DHT")
+                huff[(tc, th)] = _jpeg_huff_table(counts, syms)
+                i += 17 + n
+        elif m == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"unsupported JPEG sample precision {prec}"
+                )
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"unsupported JPEG component count {nc}"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                   0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"unsupported JPEG frame type SOF{m - 0xC0} "
+                "(baseline SOF0 only)"
+            )
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:  # SOS — entropy data follows until next marker
+            ns = seg[0]
+            stabs = {}
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                stabs[cid] = (tt >> 4, tt & 0xF)
+            segments, cur = [], bytearray()
+            while pos < len(payload):
+                b = payload[pos]
+                if b == 0xFF:
+                    nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
+                    if nxt == 0x00:  # stuffed literal FF
+                        cur.append(0xFF)
+                        pos += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:  # RSTn
+                        segments.append(bytes(cur))
+                        cur = bytearray()
+                        pos += 2
+                        continue
+                    break  # real marker ends the scan
+                cur.append(b)
+                pos += 1
+            segments.append(bytes(cur))
+            scan = (stabs, segments)
+            break  # one scan is the whole image for baseline
+        # every other marker (APPn, COM, ...) is skipped by the length walk
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("JPEG zero dimension")
+    stabs, segments = scan
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or any(
+        c[1] < 1 or c[2] < 1 or hmax % c[1] or vmax % c[2] for c in comps
+    ):
+        raise NotImplementedError(
+            "unsupported JPEG sampling geometry "
+            f"{[(c[1], c[2]) for c in comps]}"
+        )
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+    # allocation bound BEFORE materializing anything: float64 coefficient
+    # planes per component + the upsampled uint8 output
+    plane_bytes = sum(
+        (mcus_y * c[2] * 8) * (mcus_x * c[1] * 8) * 8 for c in comps
+    )
+    if max(plane_bytes, h * w * 3) > JPEG_AREA_MAX:
+        raise ValueError(
+            f"JPEG dimensions {w}x{h}x{len(comps)} exceed the decode "
+            f"bound (peak allocation {max(plane_bytes, h * w * 3)} bytes "
+            f"> {JPEG_AREA_MAX})"
+        )
+    planes = {}
+    nblocks = {}
+    for cid, ch, cv, _tq in comps:
+        nblocks[cid] = mcus_y * cv * mcus_x * ch
+        planes[cid] = np.zeros((nblocks[cid], 8, 8), dtype=np.float64)
+    for cid, _ch, _cv, ctq in comps:
+        if ctq not in qt:
+            raise ValueError(f"JPEG missing quant table {ctq}")
+        dc_t, ac_t = stabs.get(cid, (None, None))
+        if (0, dc_t) not in huff or (1, ac_t) not in huff:
+            raise ValueError(f"JPEG missing huffman tables for comp {cid}")
+    n_mcus = mcus_x * mcus_y
+    per_seg = restart_interval or n_mcus
+    mcu = 0
+    zz_r = np.array([r for r, _c in _JPEG_ZZ])
+    zz_c = np.array([c for _r, c in _JPEG_ZZ])
+    for seg_bytes in segments:
+        if mcu >= n_mcus:
+            break
+        bits = _JpegBits(seg_bytes)
+        preds = {c[0]: 0 for c in comps}
+        for _ in range(min(per_seg, n_mcus - mcu)):
+            my, mx = divmod(mcu, mcus_x)
+            for cid, ch, cv, ctq in comps:
+                q = qt[ctq]
+                dct = huff[(0, stabs[cid][0])]
+                act = huff[(1, stabs[cid][1])]
+                for by in range(cv):
+                    for bx in range(ch):
+                        coeff = np.zeros(64, dtype=np.int64)
+                        s = _jpeg_huff_decode(bits, dct)
+                        diff = (
+                            _jpeg_extend(bits.read_n(s), s) if s else 0
+                        )
+                        preds[cid] += diff
+                        coeff[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(bits, act)
+                            r, sz = rs >> 4, rs & 0xF
+                            if sz == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG AC run past block end"
+                                )
+                            coeff[k] = _jpeg_extend(bits.read_n(sz), sz)
+                            k += 1
+                        blk = np.zeros((8, 8), dtype=np.float64)
+                        blk[zz_r, zz_c] = coeff * q
+                        bi = (
+                            (my * cv + by) * (mcus_x * ch) + mx * ch + bx
+                        )
+                        planes[cid][bi] = blk
+            mcu += 1
+    if mcu < n_mcus:
+        raise ValueError("JPEG scan ended before the last MCU")
+    # batched IDCT per component, then de-block into the plane raster
+    out_planes = []
+    for cid, ch, cv, _tq in comps:
+        spatial = (
+            _DCT_BASIS.T @ planes[cid] @ _DCT_BASIS
+        ) + 128.0  # (nblocks, 8, 8)
+        bw = mcus_x * ch  # blocks per row
+        bh = mcus_y * cv
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        plane = np.repeat(
+            np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+        )[:h, :w]
+        out_planes.append(plane)
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return g[..., None]
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
 WAV_SIG = b"RIFF"
 # decode cap: 64 MiB of raw PCM (~6 min of 16-bit stereo at 44.1 kHz)
 WAV_BYTES_MAX = 1 << 26
@@ -607,7 +927,8 @@ def image_features(px: np.ndarray) -> np.ndarray:
 
 def real_decode(payload: bytes, kind: str):
     """Real decode where a pure-stdlib codec exists: PNG images via
-    decode_png (zlib), RIFF/WAVE PCM audio via decode_wav (wave), and
+    decode_png (zlib), baseline-JPEG images via decode_jpeg (Huffman +
+    matrix IDCT), RIFF/WAVE PCM audio via decode_wav (wave), and
     uncompressed-DIB RIFF/AVI video via decode_avi. The return shape is
     KIND-SPECIFIC: image -> (h, w, channels) uint8 pixel array; audio ->
     (samples float32 (n_frames, channels), framerate int) tuple; video ->
@@ -617,6 +938,8 @@ def real_decode(payload: bytes, kind: str):
     container has no ffmpeg; swap those branches in production."""
     if kind == "image" and payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if kind == "image" and payload[:3] == JPEG_SIG:
+        return decode_jpeg(payload)
     if kind == "audio" and payload[:4] == WAV_SIG:
         return decode_wav(payload)
     if (
@@ -655,6 +978,12 @@ def _decode_one(payload: bytes, kind: str) -> np.ndarray:
         except Exception:
             # any malformed byte stream (struct/zlib/bounds/ValueError/
             # NotImplementedError) — degrade, never crash the task
+            return decode_stub(payload, kind)
+    if kind == "image" and payload[:3] == JPEG_SIG:
+        try:
+            return image_features(decode_jpeg(payload))
+        except Exception:
+            # progressive/12-bit/arithmetic or malformed — degrade
             return decode_stub(payload, kind)
     if kind == "audio" and payload[:4] == WAV_SIG:
         try:
@@ -714,16 +1043,21 @@ def _pseudo_hash(pb: bytes) -> int:
     )
 
 
-def _sig_kernel(sig_prefix: bytes, decode_hash, out_col: str):
+def _sig_kernel(routes, out_col: str):
     """mapInPandas kernel FACTORY shared by the image and audio signature
-    scans: payloads matching ``sig_prefix`` hash through ``decode_hash``
-    (real=true); anything else — wrong container, hostile header, NULL,
-    or a ``decode_hash`` that returns None (a decodable payload whose
-    signature is DEGENERATE, e.g. flat-energy audio) — degrades to a
-    sha256-derived pseudo-hash (real=false): byte-identical payloads
-    still pair as exact dups, but no perceptual similarity is ever
-    claimed for them. One factory means the degrade semantics can never
-    fork between modalities."""
+    scans. ``routes`` is a sequence of (sig_prefix, decode_hash) pairs
+    tried in order — a payload matching a prefix hashes through that
+    route's ``decode_hash`` (real=true). Anything else — no matching
+    container signature, hostile header, NULL, or a ``decode_hash``
+    that raises or returns None (an unsupported shape, e.g. progressive
+    JPEG, or a decodable payload whose signature is DEGENERATE, e.g.
+    flat-energy audio) — degrades to a sha256-derived pseudo-hash
+    (real=false): byte-identical payloads still pair as exact dups, but
+    no perceptual similarity is ever claimed for them. One factory
+    means the degrade semantics can never fork between modalities, and
+    multi-route hashing means DIFFERENT containers of the same pixels
+    (a PNG and a baseline JPEG of one photo) land in the SAME hash
+    space and pair perceptually."""
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -733,17 +1067,20 @@ def _sig_kernel(sig_prefix: bytes, decode_hash, out_col: str):
             ):
                 pb = bytes(payload) if payload is not None else b""
                 ids.append(aid)
-                if pb[: len(sig_prefix)] == sig_prefix:
-                    try:
-                        h = decode_hash(pb)
-                    except Exception:
-                        h = None
-                    if h is not None:
-                        hashes.append(h)
-                        real.append(True)
-                        continue
-                hashes.append(_pseudo_hash(pb))
-                real.append(False)
+                h = None
+                for sig_prefix, decode_hash in routes:
+                    if pb[: len(sig_prefix)] == sig_prefix:
+                        try:
+                            h = decode_hash(pb)
+                        except Exception:
+                            h = None
+                        break  # prefixes are disjoint: one route only
+                if h is not None:
+                    hashes.append(h)
+                    real.append(True)
+                else:
+                    hashes.append(_pseudo_hash(pb))
+                    real.append(False)
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
@@ -791,7 +1128,11 @@ def image_dhash(px: np.ndarray) -> int:
 
 
 _phash_kernel = _sig_kernel(
-    PNG_SIG, lambda pb: image_dhash(decode_png(pb)), "phash"
+    (
+        (PNG_SIG, lambda pb: image_dhash(decode_png(pb))),
+        (JPEG_SIG, lambda pb: image_dhash(decode_jpeg(pb))),
+    ),
+    "phash",
 )
 
 
@@ -874,7 +1215,7 @@ def audio_fingerprint(sig: np.ndarray, framerate: int) -> int | None:
 
 
 _afp_kernel = _sig_kernel(
-    WAV_SIG, lambda pb: audio_fingerprint(*decode_wav(pb)), "afp"
+    ((WAV_SIG, lambda pb: audio_fingerprint(*decode_wav(pb))),), "afp"
 )
 
 
