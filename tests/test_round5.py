@@ -926,11 +926,14 @@ def test_media_job_end_to_end(spark, tmp_path):
     import pyarrow.parquet as pq
 
     from tests.test_curation import _encode_png
+    from tests.test_round6 import _encode_jpeg
 
     rng = np.random.RandomState(29)
     px = rng.randint(0, 256, (24, 33, 3), dtype=np.uint8)
     png_a = _encode_png(px, [0] * 24)
     png_b = _encode_png(px, [2] * 24)          # same pixels -> dup of a
+    jpg_a = _encode_jpeg(px, quality=95)       # same pixels, OTHER
+    # container/codec -> still a dup of a (cross-format dhash space)
     png_c = _encode_png(
         rng.randint(0, 256, (24, 33, 3), dtype=np.uint8), [0] * 24
     )
@@ -977,6 +980,7 @@ def test_media_job_end_to_end(spark, tmp_path):
         ("i1", "image", png_a, 0),
         ("i2", "image", png_b, 0),
         ("i3", "image", png_c, 0),
+        ("i4", "image", jpg_a, 0),
         ("a1", "audio", wav_a, 0),
         ("a2", "audio", wav_b, 0),
         ("a3", "audio", wav_c, 0),
@@ -1013,14 +1017,16 @@ def test_media_job_end_to_end(spark, tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     summary = json.loads(res.stdout.strip().splitlines()[-1])
-    assert summary["assets"] == 11 and summary["features"] == 11
-    assert summary["image_pairs"] >= 1 and summary["audio_pairs"] >= 1
+    assert summary["assets"] == 12 and summary["features"] == 12
+    # {i1,i2,i4}: PNG re-encode AND the cross-codec JPEG all pair
+    assert summary["image_pairs"] >= 3 and summary["audio_pairs"] >= 1
     assert summary["video_pairs"] >= 3           # v0v1, v0v2, v0v3, v1v2
     # v0: ts 0/1k, v1: ts 0/1k/2k, v2: 0/1k, v3: 0/1k/2k/3k
     assert summary["frames_decoded"] == 11
 
     kept = {r["asset_id"] for r in spark.read.parquet(f"{out}/kept").collect()}
     assert "i1" in kept and "i2" not in kept     # min-id representative
+    assert "i4" not in kept                      # JPEG loses to the PNG rep
     assert "a1" in kept and "a2" not in kept
     # per-pair contained-side drops: the clip v0 loses to both fulls, the
     # re-encode v2 loses the equal-size tie to v1; v3 (unrelated full
