@@ -1449,3 +1449,212 @@ def video_near_dups(
             F.col("shared"), F.least("size_a", "size_b")
         ).alias("containment"),
     )
+
+
+# --- content-defined chunking (CDC) binary near-dup ----------------------
+# The file-level dedup class none of the perceptual suites cover: two
+# binary payloads that share most of their BYTES (a re-upload with a
+# patched header, an appended EULA, a truncated transfer) regardless of
+# what the bytes encode. Fixed-size blocking breaks on the first
+# insertion (every later block shifts); content-defined boundaries
+# (FastCDC-style gear hash) re-synchronize within one chunk of an edit,
+# so a local edit changes O(1) chunks of the signature.
+
+# deterministic 256-entry gear table (no RNG — the sha256-of-byte-value
+# construction every other deterministic constant in this repo uses)
+_CDC_GEAR = np.frombuffer(
+    b"".join(
+        hashlib.sha256(b"cdc-gear:%d" % i).digest()[:8] for i in range(256)
+    ),
+    dtype=">u8",
+).astype(np.uint64)
+
+
+def cdc_boundaries(
+    data: bytes,
+    avg_bits: int = 6,
+    min_size: int | None = None,
+    max_size: int | None = None,
+) -> list[int]:
+    """Content-defined chunk END offsets for one payload (the last entry
+    is always len(data)). Gear rolling hash: h_i = 2*h_{i-1} + g(b_i)
+    mod 2^64 — because the shift ages contributions out after 64 bytes,
+    h_i is EXACTLY a 64-lag weighted convolution of the byte stream, so
+    the whole hash sequence vectorizes as 64 shifted numpy adds
+    (O(64·n) SIMD work, no per-byte Python) instead of a byte loop. A
+    boundary falls where the top ``avg_bits`` bits of h are zero →
+    expected chunk length 2^avg_bits bytes; ``min_size`` (skip-ahead)
+    and ``max_size`` (forced cut) bound the realized lengths, so a
+    hostile payload can neither produce unbounded chunks nor one-byte
+    chunk floods."""
+    n = len(data)
+    if n == 0:
+        return []
+    if min_size is None:
+        min_size = max(1, 1 << max(0, avg_bits - 2))
+    if max_size is None:
+        max_size = 1 << (avg_bits + 2)
+    b = np.frombuffer(data, dtype=np.uint8)
+    g = _CDC_GEAR[b]
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(min(64, n)):
+        h[j:] += g[: n - j] << np.uint64(j)
+    mask = np.uint64(((1 << avg_bits) - 1) << (64 - avg_bits))
+    cand = np.nonzero((h & mask) == 0)[0]
+    ends: list[int] = []
+    start = 0
+    for p in cand.tolist():
+        end = p + 1
+        if end - start < min_size:
+            continue
+        while end - start > max_size:
+            start += max_size
+            ends.append(start)
+        if end > start:
+            ends.append(end)
+            start = end
+    while n - start > max_size:
+        start += max_size
+        ends.append(start)
+    if start < n:
+        ends.append(n)
+    return ends
+
+
+def _cdc_kernel(avg_bits: int, min_size: int | None, max_size: int | None):
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, payload in zip(
+                pdf["asset_id"].values, pdf["payload"].values
+            ):
+                if payload is None:
+                    continue  # nothing content-derived to chunk
+                pb = bytes(payload)
+                start = 0
+                for end in cdc_boundaries(
+                    pb, avg_bits=avg_bits, min_size=min_size,
+                    max_size=max_size,
+                ):
+                    ids.append(aid)
+                    hashes.append(
+                        hashlib.sha256(pb[start:end]).hexdigest()[:32]
+                    )
+                    start = end
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="string"),
+                    "chash": pd.Series(hashes, dtype="string"),
+                }
+            )
+
+    return kern
+
+
+def cdc_chunk_hashes(
+    assets: DataFrame,
+    avg_bits: int = 6,
+    min_size: int | None = None,
+    max_size: int | None = None,
+) -> DataFrame:
+    """(asset_id, chash) — one row per content-defined chunk of each
+    payload, ANY kind (chunking never decodes, so there is no degrade
+    path: every non-NULL payload has a real signature). chash is 128
+    bits of sha256 over the chunk bytes — at 10^12 corpus chunks the
+    birthday bound keeps accidental collisions negligible, which a
+    64-bit chunk hash would not."""
+    return assets.select("asset_id", "payload").mapInPandas(
+        _cdc_kernel(avg_bits, min_size, max_size),
+        schema="asset_id string, chash string",
+    )
+
+
+def binary_near_dups(
+    assets: DataFrame,
+    threshold: float = 0.8,
+    avg_bits: int = 6,
+    min_size: int | None = None,
+    max_size: int | None = None,
+    max_chunk_df: int = 1000,
+) -> DataFrame:
+    """BYTE-level near-duplicate pairs by CDC chunk-hash containment:
+    (asset_a, asset_b, shared, size_a, size_b, containment) over each
+    payload's DISTINCT chunk hashes, containment = |A∩B| / min(|A|,|B|)
+    — the same asymmetric measure as video_near_dups, because the dup
+    classes rhyme: a re-upload with a small patch shares almost all
+    chunks (Jaccard and containment both high), while a TRUNCATED or
+    excerpted transfer's chunks are a subset of the original's
+    (containment 1, Jaccard low).
+
+    STOP-CHUNK rule: a chunk hash occurring in more than
+    ``max_chunk_df`` assets (an all-zeros run, a shared file header, a
+    common license block) is excluded from every signature before sizes
+    are counted — the equi-join's per-key fan-out stays bounded and
+    "shared only boilerplate chunks" pairs disappear (the video suite's
+    stop-frame rule, one modality over).
+
+    Shape at 100 TB: the chunk kernel is O(bytes) vectorized numpy per
+    payload; candidates form ONLY through the df-capped equi-join on
+    chash (never all-pairs); the threshold filter is pure-integer with
+    the shared exact-int rounding. Thresholds: 0 < threshold <= 1."""
+    from pdftableextractor_spark.operators.dedup import exact_ratio_round6
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t_micro = int(round(float(threshold) * 1_000_000))
+    sigs = (
+        cdc_chunk_hashes(
+            assets, avg_bits=avg_bits, min_size=min_size, max_size=max_size
+        )
+        .distinct()
+    )
+    dfreq = sigs.groupBy("chash").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    sigs = (
+        sigs.join(dfreq, "chash")
+        .filter(F.col("__df") <= max_chunk_df)
+        .select("asset_id", "chash")
+        # executor-loss caveat: see the FAULT-TOLERANCE TRADE note on
+        # dedup.containment_pairs (shared by every localCheckpoint here)
+        .localCheckpoint(eager=True)
+    )
+    sizes = sigs.groupBy("asset_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sigs.select(F.col("asset_id").alias("asset_a"), "chash")
+    b = sigs.select(F.col("asset_id").alias("asset_b"), "chash")
+    shared = (
+        a.join(b, "chash")
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .groupBy("asset_a", "asset_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(
+                F.col("asset_id").alias("asset_a"),
+                F.col("sz").alias("size_a"),
+            ),
+            "asset_a",
+        )
+        .join(
+            sizes.select(
+                F.col("asset_id").alias("asset_b"),
+                F.col("sz").alias("size_b"),
+            ),
+            "asset_b",
+        )
+        .filter(
+            F.col("shared") * F.lit(1_000_000)
+            >= F.lit(t_micro) * F.least("size_a", "size_b")
+        )
+    )
+    return out.select(
+        "asset_a",
+        "asset_b",
+        F.col("shared").cast("bigint").alias("shared"),
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+        exact_ratio_round6(
+            F.col("shared"), F.least("size_a", "size_b")
+        ).alias("containment"),
+    )

@@ -541,3 +541,175 @@ def test_jpeg_phash_cross_format_perceptual_pairing(spark):
     assert expected <= pairs, (expected - pairs, pairs)
     flat = {a for p in pairs for a in p}
     assert "jpg_other" not in flat and "jpg_prog" not in flat
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) binary near-dup — the byte-level dedup
+# class the perceptual suites don't cover (re-upload with a patched
+# header, appended EULA, truncated transfer), format-agnostic.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hl
+
+
+def _pseudo_bytes(tag: str, n: int) -> bytes:
+    """Deterministic pseudo-random bytes: chained sha256, no RNG."""
+    out, block = bytearray(), _hl.sha256(tag.encode()).digest()
+    while len(out) < n:
+        out.extend(block)
+        block = _hl.sha256(block).digest()
+    return bytes(out[:n])
+
+
+def _naive_cdc_boundaries(data, avg_bits=6, min_size=None, max_size=None):
+    """Per-byte reference for the vectorized gear kernel: h_i =
+    (2*h_{i-1} + g(b_i)) mod 2^64, boundary where top avg_bits bits are
+    zero, with the same skip-ahead / forced-cut loop."""
+    from pdftableextractor_spark.operators.multimodal import _CDC_GEAR
+
+    n = len(data)
+    if n == 0:
+        return []
+    if min_size is None:
+        min_size = max(1, 1 << max(0, avg_bits - 2))
+    if max_size is None:
+        max_size = 1 << (avg_bits + 2)
+    mask = ((1 << avg_bits) - 1) << (64 - avg_bits)
+    h, cand = 0, []
+    for i, byte in enumerate(data):
+        h = ((h << 1) + int(_CDC_GEAR[byte])) & ((1 << 64) - 1)
+        if (h & mask) == 0:
+            cand.append(i)
+    ends, start = [], 0
+    for p in cand:
+        end = p + 1
+        if end - start < min_size:
+            continue
+        while end - start > max_size:
+            start += max_size
+            ends.append(start)
+        if end > start:
+            ends.append(end)
+            start = end
+    while n - start > max_size:
+        start += max_size
+        ends.append(start)
+    if start < n:
+        ends.append(n)
+    return ends
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",
+        b"a",
+        b"hello world " * 3,
+        _pseudo_bytes("x", 1000),
+        _pseudo_bytes("y", 5000),
+        bytes(2000),            # all-zeros: every position a candidate or none
+        bytes(range(256)) * 20,
+    ],
+    ids=["empty", "one", "short", "rand1k", "rand5k", "zeros", "cycle"],
+)
+@pytest.mark.parametrize("kw", [{}, {"min_size": 1, "max_size": 1 << 30},
+                                {"avg_bits": 5}], ids=["default", "nolimits", "b5"])
+def test_cdc_boundaries_match_naive_reference(payload, kw):
+    from pdftableextractor_spark.operators.multimodal import cdc_boundaries
+
+    got = cdc_boundaries(payload, **kw)
+    assert got == _naive_cdc_boundaries(payload, **kw)
+    n = len(payload)
+    if n == 0:
+        assert got == []
+        return
+    assert got[-1] == n
+    assert all(a < b for a, b in zip(got, got[1:]))
+    max_size = kw.get("max_size") or 1 << (kw.get("avg_bits", 6) + 2)
+    sizes = [e - s for s, e in zip([0] + got[:-1], got)]
+    assert all(1 <= sz <= max_size for sz in sizes)
+
+
+def test_cdc_edit_resync():
+    """The reason for CONTENT-defined (not fixed-size) blocking: a
+    1-byte insertion mid-payload changes O(1) chunks, because the gear
+    hash depends only on the trailing 64 bytes so boundaries
+    re-synchronize within one chunk of the edit."""
+    from pdftableextractor_spark.operators.multimodal import cdc_boundaries
+
+    base = _pseudo_bytes("resync", 8000)
+    edited = base[:4000] + b"Z" + base[4000:]
+
+    def chunk_set(data):
+        out, s = set(), 0
+        for e in cdc_boundaries(data):
+            out.add(_hl.sha256(data[s:e]).hexdigest())
+            s = e
+        return out
+
+    sb, se = chunk_set(base), chunk_set(edited)
+    assert len(sb) > 50
+    # all but a handful of chunks survive the edit — fixed-size blocking
+    # would lose every block after offset 4000
+    assert len(sb & se) >= len(sb) - 3
+    assert len(se - sb) <= 3
+
+
+def test_binary_near_dups_classes(spark):
+    """Byte-level dup classes: an identical re-upload pairs at 1.0; an
+    APPENDED-suffix copy pairs (only the final chunk differs); a
+    TRUNCATED transfer pairs with high containment on the short side
+    (the asymmetric class Jaccard under-scores); unrelated payloads
+    don't pair; NULL payloads produce no signature rows."""
+    from pdftableextractor_spark.operators.multimodal import (
+        binary_near_dups,
+        cdc_chunk_hashes,
+    )
+
+    base = _pseudo_bytes("doc", 4000)
+    assets = spark.createDataFrame(
+        [
+            ("orig", "video", bytearray(base)),
+            ("reup", "image", bytearray(base)),          # kind-agnostic
+            ("appended", "audio", bytearray(base + b"standard EULA text " * 4)),
+            ("trunc", "video", bytearray(base[:2500])),
+            ("other", "video", bytearray(_pseudo_bytes("unrelated", 4000))),
+            ("nullp", "video", None),
+        ],
+        "asset_id string, kind string, payload binary",
+    )
+    sigs = cdc_chunk_hashes(assets)
+    per = {r[0]: r[1] for r in sigs.groupBy("asset_id").count().collect()}
+    assert "nullp" not in per
+    assert per["orig"] == per["reup"] > 30
+
+    pairs = {
+        tuple(sorted((r["asset_a"], r["asset_b"]))): r["containment"]
+        for r in binary_near_dups(assets, threshold=0.8).collect()
+    }
+    assert pairs[("orig", "reup")] == 1.0
+    assert pairs[("appended", "orig")] >= 0.9
+    assert pairs[("orig", "trunc")] >= 0.9
+    assert not any("other" in p or "nullp" in p for p in pairs), pairs
+
+
+def test_binary_near_dups_stop_chunk_rule(spark):
+    """A chunk hash in more than max_chunk_df assets (shared header /
+    license boilerplate) is excluded BEFORE sizes are counted, so
+    'shared only boilerplate' pairs disappear and the equi-join's
+    per-key fan-out stays bounded."""
+    from pdftableextractor_spark.operators.multimodal import binary_near_dups
+
+    header = _pseudo_bytes("common-header", 600)
+    rows = [
+        (f"a{i}", "video", bytearray(header + _pseudo_bytes(f"u{i}", 3000)))
+        for i in range(8)
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id string, kind string, payload binary"
+    )
+    # header chunks appear in 8 assets; unique tails share nothing
+    uncapped = binary_near_dups(assets, threshold=0.10, max_chunk_df=1000)
+    capped = binary_near_dups(assets, threshold=0.10, max_chunk_df=4)
+    assert uncapped.count() > 0          # boilerplate alone crosses 10%
+    assert capped.count() == 0           # stop-chunk rule kills it
