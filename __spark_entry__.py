@@ -87,6 +87,8 @@ from pdftableextractor_spark.operators.sampling import (
     weighted_sample,
 )
 from pdftableextractor_spark.operators.multimodal import (
+    _CDC_GEAR,
+    binary_near_dups,
     extract_features,
     resize_assets,
     sample_frames,
@@ -169,6 +171,10 @@ DRIVER_TAIL = [
     # window: metadata projection ⊂ q40's resize plumbing (parity core,
     # in-window) + the decode/kernel pytest suite
     "q30_multimodal_meta",
+    # q44 demoted when q71 (CDC binary dedup) joined the window: q44 is
+    # in-window q43's line-frequency census + a broadcast semi-join
+    # prune, driver-green r4/r5, pytest-pinned
+    "q44_drop_common_lines",
 ]
 
 
@@ -993,6 +999,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q70_semantic_incremental"] = q70
+
+    # q71 CDC binary dedup: byte-level containment pairs over
+    # content-defined chunks — assets are each document's utf-8 bytes
+    # plus a deterministic TRUNCATED-transfer variant (the dup class the
+    # operator exists for); min_size=1 / huge max_size disables the
+    # sequential skip-ahead so the DuckDB oracle can express boundaries
+    # as pure candidate positions of the gear hash
+    def q71(s, d):
+        base = _docs_str(s, d).select("doc_id", "text")
+        assets = base.select(
+            F.concat(F.lit("o-"), "doc_id").alias("asset_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        ).unionByName(
+            base.select(
+                F.concat(F.lit("t-"), "doc_id").alias("asset_id"),
+                F.encode(
+                    F.expr(
+                        "substring(text, 1,"
+                        " greatest(length(text) div 2, 1))"
+                    ),
+                    "utf-8",
+                ).alias("payload"),
+            )
+        )
+        return binary_near_dups(
+            assets, threshold=0.5, avg_bits=6, min_size=1,
+            max_size=1 << 30, max_chunk_df=200,
+        )
+
+    q["q71_cdc_dedup"] = q71
 
     # ------------------------------------------------------------------
     # driver-window ordering: the correctness driver verifies only the
@@ -2753,6 +2789,95 @@ SELECT c.vec_id, c.component,
        (c.vec_id = c.component
         AND c.component NOT IN (SELECT component FROM fc)) AS keep
 FROM comp c
+"""
+
+    # q71 CDC binary dedup: the gear rolling hash h_i = (2·h_{i-1} +
+    # g(b_i)) mod 2^64 re-expressed non-sequentially — byte p
+    # contributes g·2^j to positions p..p+63 (older terms vanish mod
+    # 2^64), so h is an explode-×64 + SUM group-by. Terms precomputed
+    # per (byte, lag) as two 32-bit BIGINT halves so the hot aggregate
+    # is pure BIGINT; one HUGEINT reconstruction per position. With
+    # min_size=1 and no forced cuts, chunk ENDS are exactly the
+    # candidate positions (top 6 bits of h zero ⇔ h < 2^58) plus n.
+    # Tail mirrors q64's containment: distinct chunks, df cap BEFORE
+    # sizes, exact-int HALF_UP rounding.
+    _gear = "LIST_VALUE(" + ",".join(
+        f"{int(v)}::HUGEINT" for v in _CDC_GEAR
+    ) + ")"
+    _p64 = "18446744073709551616::HUGEINT"
+    o["q71_cdc_dedup"] = f"""
+WITH gear_t AS (
+  SELECT unnest(range(0, 256)) AS b, unnest({_gear}) AS g
+), term_t AS (
+  SELECT b, j.j AS j,
+         CAST(((g * (1::HUGEINT << j.j)) % {_p64}) // 4294967296
+              AS BIGINT) AS thi,
+         CAST(((g * (1::HUGEINT << j.j)) % {_p64}) % 4294967296
+              AS BIGINT) AS tlo
+  FROM gear_t CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+), base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS did, text FROM documents
+), assets AS (
+  SELECT 'o-' || did AS asset_id, text AS payload FROM base
+  UNION ALL
+  SELECT 't-' || did, substring(text, 1, greatest(length(text)//2, 1))
+  FROM base
+), prep AS (
+  SELECT asset_id, payload, length(payload) AS n
+  FROM assets WHERE payload IS NOT NULL AND length(payload) > 0
+), bytes AS (
+  SELECT asset_id, n, unnest(range(1, n+1)) AS p,
+         unnest(list_transform(range(1, n+1),
+                               i -> ord(substring(payload, i, 1)))) AS bv
+  FROM prep
+), hpos AS (
+  SELECT asset_id, any_value(n) AS n, p + j AS i,
+         (SUM(thi)::HUGEINT * 4294967296 + SUM(tlo)::HUGEINT) % {_p64}
+           AS h
+  FROM bytes JOIN term_t ON term_t.b = bytes.bv
+  WHERE p + j <= n
+  GROUP BY asset_id, p + j
+), cand AS (
+  SELECT asset_id, any_value(n) AS n,
+         list_sort(list(i) FILTER (
+           WHERE h < 288230376151711744::HUGEINT AND i < n)) AS cands
+  FROM hpos GROUP BY asset_id
+), ed AS (
+  SELECT p.asset_id, p.payload,
+         list_append(coalesce(c.cands, []), p.n) AS ends
+  FROM prep p JOIN cand c ON c.asset_id = p.asset_id
+), ch AS (
+  SELECT asset_id,
+    unnest(list_transform(range(1, len(ends)+1), i ->
+      substring(sha256(substring(payload, coalesce(ends[i-1], 0)+1,
+                                 ends[i]-coalesce(ends[i-1], 0))),
+                1, 32))) AS chash
+  FROM ed
+), sh AS (
+  SELECT DISTINCT asset_id, chash FROM ch
+), live AS (
+  SELECT chash FROM sh GROUP BY chash HAVING count(*) <= 200
+), sh2 AS (
+  SELECT sh.asset_id, sh.chash FROM sh JOIN live USING (chash)
+), sz AS (
+  SELECT asset_id, count(*) AS sz FROM sh2 GROUP BY asset_id
+), inter AS (
+  SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+         count(*) AS shared
+  FROM sh2 a JOIN sh2 b
+    ON a.chash = b.chash AND a.asset_id < b.asset_id
+  GROUP BY 1, 2
+)
+SELECT i.asset_a, i.asset_b, CAST(i.shared AS BIGINT) AS shared,
+       CAST(x.sz AS BIGINT) AS size_a, CAST(y.sz AS BIGINT) AS size_b,
+       CAST((CAST(2 * i.shared AS HUGEINT) * 1000000
+             + least(x.sz, y.sz))
+            // (2 * CAST(least(x.sz, y.sz) AS HUGEINT)) AS DOUBLE)
+         / 1000000.0 AS containment
+FROM inter i
+JOIN sz x ON x.asset_id = i.asset_a
+JOIN sz y ON y.asset_id = i.asset_b
+WHERE i.shared * 1000000 >= 500000 * least(x.sz, y.sz)
 """
 
     # add-one bigram LM mean-transition score; both roundings (per-position
