@@ -67,6 +67,7 @@ def build_queries(spark, sf_dir: str, synth_path: str):
     from pdftableextractor_spark.corpus import interleave_flat_documents
     from pdftableextractor_spark.operators.dedup import (
         minhash_near_dups,
+        semantic_dedup,
         simhash_signatures,
     )
     from pdftableextractor_spark.operators.extract import (
@@ -238,6 +239,19 @@ def build_queries(spark, sf_dir: str, synth_path: str):
                 emb.select("vec_id", "embedding"),
                 k=5, n_cells=16, n_probe=2, iters=3,
             )
+        ),
+        # round-6: SemDeDup on ITS scale path too (the q69 driver entry
+        # runs exact mode for oracle parity; defaults are now n_probe=2)
+        "semantic_dedup": lambda: _materialize(
+            semantic_dedup(
+                emb.select("vec_id", "embedding"),
+                threshold=0.35, k=3, n_cells=16, iters=3,
+            )
+        ),
+        # round-6: CDC binary containment over the documents corpus + its
+        # truncated-transfer variants (the q71 driver shape)
+        "cdc_dedup": lambda: _materialize(
+            entry.queries()["q71_cdc_dedup"](spark, sf_dir)
         ),
     }
 
