@@ -95,10 +95,16 @@ def build_queries(spark, sf_dir: str, synth_path: str):
         token_count,
     )
 
+    from pdftableextractor_spark.operators.tokenize import (
+        bpe_encode,
+        train_bpe,
+    )
+
     docs_flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs_str = docs_flat.withColumn("doc_id", F.col("doc_id").cast("string"))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     synth = spark.read.parquet(synth_path)
+    bpe_merges = train_bpe(docs_str, n_merges=500)
 
     def structure_points():
         frames = extract_frames(interleave_flat_documents(docs_flat))
@@ -252,6 +258,11 @@ def build_queries(spark, sf_dir: str, synth_path: str):
         # truncated-transfer variants (the q71 driver shape)
         "cdc_dedup": lambda: _materialize(
             entry.queries()["q71_cdc_dedup"](spark, sf_dir)
+        ),
+        # round-6: BPE encode with a frozen vocabulary — the recurring
+        # production cost (training is one-off and runs untimed above)
+        "bpe_encode": lambda: _materialize(
+            bpe_encode(docs_str, bpe_merges)
         ),
     }
 

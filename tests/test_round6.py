@@ -713,3 +713,190 @@ def test_binary_near_dups_stop_chunk_rule(spark):
     capped = binary_near_dups(assets, threshold=0.10, max_chunk_df=4)
     assert uncapped.count() > 0          # boilerplate alone crosses 10%
     assert capped.count() == 0           # stop-chunk rule kills it
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE tokenizer — learned subword vocabulary + Arrow encoder
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+
+def _ref_bpe_train(word_counts, n_merges):
+    """Independent reference: Sennrich's original formulation — words as
+    space-joined symbol strings, merges applied via regex sub with
+    whitespace-boundary lookarounds."""
+    from pdftableextractor_spark.operators.tokenize import EOW
+
+    vocab = {" ".join(list(w) + [EOW]): c for w, c in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for word, c in vocab.items():
+            sym = word.split(" ")
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (a, b), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq < 2:
+            break
+        merges.append((a, b))
+        patt = _re.compile(
+            r"(?<!\S)" + _re.escape(a + " " + b) + r"(?!\S)"
+        )
+        vocab = {patt.sub(a + b, word): c for word, c in vocab.items()}
+    return merges
+
+
+def _ref_bpe_encode(text, merges):
+    from pdftableextractor_spark.operators.tokenize import EOW
+    from pdftableextractor_spark.operators.textstats import TOKEN_RE
+
+    out = []
+    for w in _re.findall(TOKEN_RE, text or ""):
+        word = " ".join(list(w) + [EOW])
+        for a, b in merges:
+            patt = _re.compile(
+                r"(?<!\S)" + _re.escape(a + " " + b) + r"(?!\S)"
+            )
+            word = patt.sub(a + b, word)
+        out.extend(word.split(" "))
+    return out
+
+
+_BPE_CORPUS = [
+    ("d1", "the quick brown fox jumps over the lazy dog"),
+    ("d2", "the lazy dog sleeps while the quick fox runs"),
+    ("d3", "lower lowest newest widest newer wider"),
+    ("d4", "low low low lower lower newest newest newest newest"),
+    ("d5", "unrelated zymurgy qoph! 12345 12345 mix-9"),
+    ("d6", ""),
+    ("d7", None),
+]
+
+
+def test_bpe_training_matches_sennrich_reference():
+    from pdftableextractor_spark.operators.tokenize import (
+        train_bpe_from_counts,
+    )
+
+    wc = {}
+    for _, t in _BPE_CORPUS:
+        for w in _re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", t or ""):
+            wc[w] = wc.get(w, 0) + 1
+    counts = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    for n in (1, 5, 20, 200):
+        assert train_bpe_from_counts(counts, n) == _ref_bpe_train(counts, n)
+
+
+def test_bpe_train_and_encode_distributed(spark):
+    """Spark-trained merges == reference merges on the same corpus;
+    Spark-encoded tokens == reference encoding per document; encoding is
+    lossless on the word stream; results are partitioning-invariant."""
+    from pdftableextractor_spark.operators.tokenize import (
+        EOW,
+        bpe_encode,
+        train_bpe,
+    )
+    from pdftableextractor_spark.operators.textstats import TOKEN_RE
+
+    docs = spark.createDataFrame(_BPE_CORPUS, "doc_id string, text string")
+    merges = train_bpe(docs, n_merges=40)
+
+    wc = {}
+    for _, t in _BPE_CORPUS:
+        for w in _re.findall(TOKEN_RE, t or ""):
+            wc[w] = wc.get(w, 0) + 1
+    counts = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert merges == _ref_bpe_train(counts, 40)
+    assert len(merges) > 10  # the corpus supports real merges
+
+    enc = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    for did, text in _BPE_CORPUS:
+        expect = _ref_bpe_encode(text, merges)
+        assert enc[did]["tokens"] == expect, did
+        assert enc[did]["n_tokens"] == len(expect)
+        # lossless: tokens rejoin to the pre-tokenized word stream
+        words = _re.findall(TOKEN_RE, text or "")
+        assert "".join(enc[did]["tokens"]) == "".join(
+            w + EOW for w in words
+        )
+
+    enc7 = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(docs.repartition(7), merges).collect()
+    }
+    assert enc7 == {k: v["tokens"] for k, v in enc.items()}
+
+
+def test_bpe_encode_unseen_chars_fall_back_to_chars(spark):
+    from pdftableextractor_spark.operators.tokenize import (
+        EOW,
+        bpe_encode,
+        train_bpe,
+    )
+
+    train = spark.createDataFrame(
+        [("a", "hello hello hello world world")], "doc_id string, text string"
+    )
+    merges = train_bpe(train, n_merges=20)
+    probe = spark.createDataFrame(
+        [("q", "hello zzz")], "doc_id string, text string"
+    )
+    toks = bpe_encode(probe, merges).collect()[0]["tokens"]
+    assert "hello" + EOW in toks          # fully merged known word
+    i = toks.index("hello" + EOW)
+    assert toks[i + 1 :] == ["z", "z", "z", EOW]  # unseen stays chars
+
+
+def test_bpe_hapax_pairs_not_memorized():
+    from pdftableextractor_spark.operators.tokenize import (
+        train_bpe_from_counts,
+    )
+
+    # every word unique: all pair frequencies are 1 -> zero merges
+    counts = [("abcdef", 1), ("ghijkl", 1), ("mnopqr", 1)]
+    assert train_bpe_from_counts(counts, 100) == []
+
+
+def test_tokenize_job_end_to_end(tmp_path):
+    """jobs/bpe.py: train+encode over sf0.001 documents, then the
+    frozen-vocab cadence (--merges) reproduces identical tokens without
+    retraining — one subprocess per run, one JSON line each."""
+    import pyarrow.parquet as pq
+
+    out1 = str(tmp_path / "tok_train")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    res = subprocess.run(
+        [sys.executable, "/root/repo/jobs/bpe.py",
+         "--input", "/root/testdata/sf0.001", "--output", out1,
+         "--n-merges", "200", "--master", "local[4]"],
+        capture_output=True, text=True, env=env, timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    s1 = json.loads(res.stdout.strip().splitlines()[-1])
+    # the hapax floor (freq >= 2) may stop before the requested budget
+    assert s1["trained"] and 50 < s1["n_merges"] <= 200
+    assert s1["docs"] == 500 and s1["total_tokens"] > 0
+
+    out2 = str(tmp_path / "tok_frozen")
+    res2 = subprocess.run(
+        [sys.executable, "/root/repo/jobs/bpe.py",
+         "--input", "/root/testdata/sf0.001", "--output", out2,
+         "--merges", f"{out1}/merges.json", "--master", "local[4]"],
+        capture_output=True, text=True, env=env, timeout=420,
+    )
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    s2 = json.loads(res2.stdout.strip().splitlines()[-1])
+    assert not s2["trained"]
+    assert s2["total_tokens"] == s1["total_tokens"]
+
+    t1 = pq.read_table(f"{out1}/tokens").to_pylist()
+    t2 = pq.read_table(f"{out2}/tokens").to_pylist()
+    key = lambda r: r["doc_id"]
+    assert sorted(t1, key=key) == sorted(t2, key=key)
+    # learned vocabulary actually compresses: fewer BPE tokens than chars
+    chars = sum(len(r["tokens"]) and sum(map(len, r["tokens"])) for r in t1)
+    assert s1["total_tokens"] < chars
