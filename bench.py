@@ -314,11 +314,17 @@ def run_bench(sf_dir: str, cpus: str, n_synth: int) -> dict:
     )
     cal_pre = host_calibration()
     queries = build_queries(spark, sf_dir, synth_path)
-    # warm-up: JVM/codegen/python-worker spin-up on a tiny slice so the
-    # timed numbers measure the engine, not JIT
+    # warm-up: JVM/codegen/python-worker spin-up so the timed numbers
+    # measure the engine, not JIT. One tiny slice, then ONE full-size
+    # extract pass: a 50-doc slice spins up only a handful of the 32
+    # python workers and leaves the C2 compiler cold on the hot loops —
+    # measured on this host, the first full-size run after a tiny
+    # warm-up reads 8.9 s where steady state is 3.7 s, and min-of-2
+    # still reports the half-warm 5.2 s
     from pdftableextractor_spark.operators.extract import extract_spans
 
     _materialize(extract_spans(spark.read.parquet(synth_path).limit(50)))
+    _materialize(extract_spans(spark.read.parquet(synth_path)))
     # min of 2 runs per query: measures the engine, not first-run codegen;
     # run-to-run noise on a shared host is ±15%
     timings: dict[str, float] = {}
