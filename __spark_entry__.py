@@ -175,6 +175,12 @@ DRIVER_TAIL = [
     # in-window q43's line-frequency census + a broadcast semi-join
     # prune, driver-green r4/r5, pytest-pinned
     "q44_drop_common_lines",
+    # q41 demoted when q72 (HTML main-content extraction) joined the
+    # window: the zero-decode JVM timestamp walk is strictly simpler
+    # than the media suite's decoded sampling (sample_frames_decoded,
+    # pytest round-trip vs encoder pixels) and shares q40's in-window
+    # plumbing contract; driver-green r5
+    "q41_frame_sample",
 ]
 
 
@@ -1029,6 +1035,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q71_cdc_dedup"] = q71
+
+    # q72 HTML main-content extraction: the north-star's DOM tag/density
+    # heuristics as the published Kohlschütter densometric classifier —
+    # pages synthesized deterministically from documents.text (sentence
+    # paragraphs wrapped in boilerplate nav/share/footer), every block
+    # classified; parity is exact because the density thresholds are
+    # integer comparisons
+    def q72(s, d):
+        from pdftableextractor_spark.operators.html import (
+            html_main_content,
+        )
+
+        docs = _docs_str(s, d)
+        html = F.concat(
+            F.lit(
+                '<html><body><nav><a href="#">Home</a> | '
+                '<a href="#">About</a> | <a href="#">Contact</a>'
+                "</nav><p>"
+            ),
+            F.regexp_replace("text", r"([.!?]) ", "$1</p><p>"),
+            F.lit(
+                '</p><div><a href="#">share</a> <a href="#">tweet</a>'
+                '</div><footer><a href="#">Privacy &amp; Terms</a> '
+                "(c) 2026</footer></body></html>"
+            ),
+        )
+        return html_main_content(
+            docs.select("doc_id", html.alias("html"))
+        )
+
+    q["q72_html_extract"] = q72
 
     # ------------------------------------------------------------------
     # driver-window ordering: the correctness driver verifies only the
@@ -2878,6 +2915,72 @@ FROM inter i
 JOIN sz x ON x.asset_id = i.asset_a
 JOIN sz y ON y.asset_id = i.asset_b
 WHERE i.shared * 1000000 >= 500000 * least(x.sz, y.sz)
+"""
+
+    # q72 HTML main-content extraction: Kohlschütter densometric rules
+    # re-expressed in DuckDB. The strip pipeline (tags→space, entity
+    # decode with &amp; LAST, whitespace collapse, trim) is generated by
+    # one helper so the block and per-link normalizations stay
+    # identical, mirroring operators/html.strip_html_col.
+    def _sql_strip(x: str) -> str:
+        ent = f"regexp_replace({x}, '<[^>]+>', ' ', 'g')"
+        for pat, rep in (
+            ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+            ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&"),
+        ):
+            ent = f"replace({ent}, '{pat}', '{rep}')"
+        return f"trim(regexp_replace({ent}, '\\s+', ' ', 'g'))"
+
+    _BLOCK_RE = (
+        "(?i)</?(?:p|div|h[1-6]|li|ul|ol|nav|footer|header|article"
+        "|section|table|tr|td|th|blockquote|br)\\b[^>]*>"
+    )
+    _LINK_RE = "(?is)<a\\b[^>]*>(.*?)</a>"
+    o["q72_html_extract"] = f"""
+WITH src AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         '<html><body><nav><a href="#">Home</a> | '
+         || '<a href="#">About</a> | <a href="#">Contact</a></nav><p>'
+         || regexp_replace(text, '([.!?]) ', '\\1</p><p>', 'g')
+         || '</p><div><a href="#">share</a> <a href="#">tweet</a>'
+         || '</div><footer><a href="#">Privacy &amp; Terms</a> '
+         || '(c) 2026</footer></body></html>' AS html
+  FROM documents
+), segl AS (
+  SELECT doc_id, string_split_regex(html, '{_BLOCK_RE}') AS l FROM src
+), segx AS (
+  SELECT doc_id, unnest(range(1, len(l)+1)) AS pos, l FROM segl
+), feat AS (
+  SELECT doc_id, pos,
+         {_sql_strip('l[pos]')} AS text,
+         coalesce(list_sum(list_transform(
+           regexp_extract_all(l[pos], '{_LINK_RE}', 1),
+           s -> length({_sql_strip('s')}))), 0) AS link_chars
+  FROM segx
+), nz AS (
+  SELECT doc_id, pos, text,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS words,
+         length(text) AS chars, link_chars,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+           AS block_no
+  FROM feat WHERE text <> ''
+), win AS (
+  SELECT doc_id, block_no, text, words, chars, link_chars,
+         coalesce(lag(words) OVER w, 0) AS pw,
+         coalesce(lead(words) OVER w, 0) AS nw,
+         coalesce(lag(link_chars) OVER w, 0) AS plc,
+         coalesce(lag(chars) OVER w, 0) AS pch
+  FROM nz WINDOW w AS (PARTITION BY doc_id ORDER BY block_no)
+)
+SELECT doc_id, CAST(block_no AS INT) AS block_no, text,
+       CAST(words AS INT) AS n_words, CAST(chars AS INT) AS chars,
+       CAST(link_chars AS INT) AS link_chars,
+       CASE WHEN link_chars * 3 > chars THEN false
+            WHEN plc * 9 <= pch * 5
+              THEN (words > 16 OR nw > 15 OR pw > 4)
+            ELSE (words > 40 OR nw > 17) END AS keep
+FROM win
 """
 
     # add-one bigram LM mean-transition score; both roundings (per-position

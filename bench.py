@@ -264,6 +264,11 @@ def build_queries(spark, sf_dir: str, synth_path: str):
         "bpe_encode": lambda: _materialize(
             bpe_encode(docs_str, bpe_merges)
         ),
+        # round-6: HTML main-content extraction (Kohlschütter rules,
+        # JVM-only) — the q72 driver shape
+        "html_extract": lambda: _materialize(
+            entry.queries()["q72_html_extract"](spark, sf_dir)
+        ),
     }
 
 

@@ -900,3 +900,106 @@ def test_tokenize_job_end_to_end(tmp_path):
     # learned vocabulary actually compresses: fewer BPE tokens than chars
     chars = sum(len(r["tokens"]) and sum(map(len, r["tokens"])) for r in t1)
     assert s1["total_tokens"] < chars
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (north-star DOM tag/density heuristics):
+# Kohlschütter densometric classifier over raw HTML, JVM-only plan
+# ---------------------------------------------------------------------------
+
+_HTML_PAGE = (
+    '<html><head><title>T</title></head><body>'
+    '<nav><a href="#">Home</a> | <a href="#">About</a> | '
+    '<a href="#">Contact</a></nav>'
+    '<h1>A real article headline here</h1>'
+    '<p>This is the first paragraph of genuine article content and it '
+    'carries well over sixteen words so the classifier must keep it as '
+    'main content for sure.</p>'
+    '<p>Short follow-up.</p>'
+    '<p>Another long paragraph of real content follows here with enough '
+    'words to stand on its own independent of the neighbours in the '
+    'block sequence of this page.</p>'
+    '<div><a href="#">share</a> <a href="#">tweet</a> '
+    '<a href="#">pin</a></div>'
+    '<footer><a href="#">Privacy &amp; Terms</a> \xa9 2026 Example '
+    'Corp</footer></body></html>'
+)
+
+
+def test_html_main_content_boilerpipe_rules(spark):
+    """Nav/share/footer blocks drop on link density; the headline keeps
+    via next_numWords; the short paragraph sandwiched between long
+    content keeps via prev_numWords — the three densometric rules."""
+    from pdftableextractor_spark.operators.html import (
+        extract_main_text,
+        html_main_content,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", _HTML_PAGE)], "doc_id string, html string"
+    )
+    rows = {r["block_no"]: r for r in html_main_content(docs).collect()}
+    assert len(rows) == 8
+    assert not rows[0]["keep"]            # title: 1 word, short neighbors
+    assert not rows[1]["keep"]            # nav: link density 16/22 > 1/3
+    assert rows[2]["keep"]                # headline: next block is long
+    assert rows[3]["keep"] and rows[5]["keep"]    # long paragraphs
+    assert rows[4]["keep"]                # short para: prev_numWords > 4
+    assert not rows[6]["keep"]            # share bar
+    assert not rows[7]["keep"]            # footer
+    assert rows[7]["text"] == "Privacy & Terms \xa9 2026 Example Corp"
+    assert rows[7]["link_chars"] == len("Privacy & Terms")
+
+    main = extract_main_text(docs).collect()[0]["text"]
+    assert main.startswith("A real article headline here This is the")
+    assert "Privacy" not in main and "share" not in main
+
+
+def test_html_entity_decode_is_single_pass(spark):
+    """'&amp;lt;' must decode to the literal text '&lt;', never '<' —
+    the &amp;-last ordering prevents double decoding."""
+    from pyspark.sql import functions as F
+
+    from pdftableextractor_spark.operators.html import strip_html_col
+
+    df = spark.createDataFrame(
+        [("<p>a &amp;lt; b &nbsp; c&#39;d</p>",)], "h string"
+    ).select(strip_html_col(F.col("h")).alias("t"))
+    assert df.collect()[0]["t"] == "a &lt; b c'd"
+
+
+def test_html_blocks_edges(spark):
+    """Empty html, tag-only html, and a single-block page (no
+    neighbors: both pad as empty blocks)."""
+    from pdftableextractor_spark.operators.html import html_main_content
+
+    docs = spark.createDataFrame(
+        [
+            ("e1", ""),
+            ("e2", "<div></div><p>   </p>"),
+            ("e3", "<p>one tiny block</p>"),
+            ("e4", "<p>a single block that is long enough on its own to "
+                   "pass the seventeen word floor with room to spare "
+                   "today</p>"),
+        ],
+        "doc_id string, html string",
+    )
+    out = {r["doc_id"]: r for r in html_main_content(docs).collect()}
+    assert "e1" not in out and "e2" not in out
+    assert not out["e3"]["keep"]          # 3 words, empty neighbors
+    assert out["e4"]["keep"]              # curr_numWords > 16 alone
+
+
+def test_html_main_content_plan_is_jvm_only(spark):
+    from pdftableextractor_spark.operators.html import html_main_content
+
+    docs = spark.createDataFrame(
+        [("d", _HTML_PAGE)], "doc_id string, html string"
+    )
+    plan = (
+        html_main_content(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "BatchEval" not in plan
