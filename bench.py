@@ -49,14 +49,29 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _timed(fn, runs: int = 1) -> float:
-    best = None
+def _timed(fn, runs: int = 1, spread: float = 1.5, max_extra: int = 2) -> float:
+    """min over ``runs`` timed executions, plus up to ``max_extra``
+    retries while the observed runs disagree by more than ``spread``x.
+    This host's co-tenant bursts are bimodal on ~10 s timescales (the
+    same stateless query measured 10.6 / 51.1 / 10.9 s back-to-back);
+    a fixed min-of-2 loses whenever a burst covers both runs, and the
+    retry triggers exactly on the disagreement a burst leaves behind."""
+    times: list[float] = []
     for _ in range(runs):
         t0 = time.time()
         fn()
-        dt = time.time() - t0
-        best = dt if best is None or dt < best else best
-    return round(best, 3)
+        times.append(time.time() - t0)
+    extra = 0
+    while (
+        extra < max_extra
+        and len(times) >= 2
+        and max(times) > spread * min(times)
+    ):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+        extra += 1
+    return round(min(times), 3)
 
 
 def build_queries(spark, sf_dir: str, synth_path: str):
