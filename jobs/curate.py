@@ -4,6 +4,10 @@
         --input /root/testdata/sf0.1 --output /tmp/curated
 
 One pass over documents(doc_id, text, ...):
+  0. html extract         (--html-extract) the text column is RAW HTML:
+                          Kohlschütter densometric main-content
+                          extraction replaces it with the kept blocks;
+                          docs whose every block is boilerplate drop
   1. exact dedup          keep the lowest doc_id per md5(text)
   2. near-dup removal     MinHash-LSH (trigram) pairs -> connected
                           components (large-star/small-star); keep the min
@@ -51,6 +55,13 @@ One pass over documents(doc_id, text, ...):
                           count of cross-document repeated --dup-span-n-gram
                           windows, when that flag is set), then token-budget
                           shard packing (--shard-tokens) per source
+  9b. tokenize            (--tokenize N) train an N-merge BPE vocabulary
+                          on the CURATED corpus (merges.json written next
+                          to clean/), annotate every doc with its learned
+                          token count (bpe_n_tokens); --shard-by-bpe packs
+                          the shards by REAL tokenizer tokens instead of
+                          whitespace tokens — the budget production
+                          pipelines actually denominate in
 
 Writes <output>/clean (curated corpus with stats + shard_idx columns) and
 prints a one-line JSON funnel summary. The funnel is the canonical shape of
@@ -62,6 +73,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 
@@ -162,6 +174,20 @@ def main() -> None:
         "keep fractions p_s ~ n_s^alpha normalized to the token budget",
     )
     p.add_argument("--shard-tokens", type=int, default=500_000)
+    p.add_argument(
+        "--html-extract", action="store_true",
+        help="the text column is raw HTML: run Kohlschütter main-content "
+        "extraction first, drop all-boilerplate docs",
+    )
+    p.add_argument(
+        "--tokenize", type=int, default=None, metavar="N_MERGES",
+        help="train an N-merge BPE vocabulary on the curated corpus, "
+        "write merges.json, annotate bpe_n_tokens",
+    )
+    p.add_argument(
+        "--shard-by-bpe", action="store_true",
+        help="pack shards by learned BPE tokens (requires --tokenize)",
+    )
     p.add_argument("--master", default=None)
     args = p.parse_args()
     if args.fuzzy_decontam is not None:
@@ -173,6 +199,10 @@ def main() -> None:
             )
         if not args.benchmark:
             p.error("--fuzzy-decontam requires --benchmark")
+    if args.shard_by_bpe and args.tokenize is None:
+        p.error("--shard-by-bpe requires --tokenize")
+    if args.tokenize is not None and args.tokenize < 1:
+        p.error("--tokenize must be >= 1")
 
     from pyspark.sql import functions as F
 
@@ -209,6 +239,23 @@ def main() -> None:
         "doc_id", F.col("doc_id").cast("string")
     )
     n0 = docs.count()
+
+    n0h = None
+    if args.html_extract:
+        from pdftableextractor_spark.operators.html import extract_main_text
+
+        main = extract_main_text(
+            docs.select("doc_id", F.col("text").alias("html")),
+            html_col="html",
+        )
+        # inner join: a doc whose every block classified boilerplate has
+        # no main-content row and drops here (nothing left to train on)
+        docs = (
+            docs.drop("text")
+            .join(main, "doc_id")
+            .localCheckpoint()
+        )
+        n0h = docs.count()
 
     reps = exact_dedup(docs).select("doc_id")
     # localCheckpoint (NOT a bare persist) between stages: every stage joins
@@ -399,8 +446,31 @@ def main() -> None:
         annotated = annotated.join(span_counts, "doc_id", "left").fillna(
             {"n_dup_spans": 0}
         )
+    n_merges = None
+    if args.tokenize is not None:
+        from pdftableextractor_spark.operators.tokenize import (
+            bpe_encode,
+            train_bpe,
+        )
+
+        # annotated is re-scanned by train (agg) AND encode (map) — pin it
+        annotated = annotated.localCheckpoint()
+        merges = train_bpe(
+            annotated.select("doc_id", "text"), n_merges=args.tokenize
+        )
+        n_merges = len(merges)
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "merges.json"), "w") as fh:
+            json.dump([list(m) for m in merges], fh)
+        enc = bpe_encode(annotated.select("doc_id", "text"), merges).select(
+            "doc_id", F.col("n_tokens").alias("bpe_n_tokens")
+        )
+        annotated = annotated.join(enc, "doc_id")
+
     sharded = pack_shards(
-        annotated, budget_tokens=args.shard_tokens, tokens_col="ws_tokens"
+        annotated,
+        budget_tokens=args.shard_tokens,
+        tokens_col="bpe_n_tokens" if args.shard_by_bpe else "ws_tokens",
     )
     write_table(sharded, args.output + "/clean", mode="overwrite")
     out = read_path(spark, args.output + "/clean")
@@ -415,6 +485,10 @@ def main() -> None:
         "shards": n_shards,
         "sec": round(time.time() - t0, 3),
     }
+    if n0h is not None:
+        summary["after_html_extract"] = n0h
+    if n_merges is not None:
+        summary["bpe_merges"] = n_merges
     if n2s is not None:
         summary["after_semantic_dedup"] = n2s
     if n3p is not None:

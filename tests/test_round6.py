@@ -1003,3 +1003,59 @@ def test_html_main_content_plan_is_jvm_only(spark):
         .toString()
     )
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_curate_funnel_html_and_tokenize_end_to_end(tmp_path):
+    """The widened funnel as one subprocess: --html-extract strips the
+    synthesized boilerplate wrapper before curation, --tokenize trains
+    a BPE vocabulary on the CURATED corpus and --shard-by-bpe packs the
+    shards in learned tokens. Boilerplate words must not survive into
+    clean/, merges.json must exist, and every output row carries
+    bpe_n_tokens."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    corpus_dir = tmp_path / "html_corpus"
+    corpus_dir.mkdir()
+    duckdb.sql(f"""
+        COPY (
+          SELECT doc_id,
+                 '<html><body><nav><a href="#">Home</a> | '
+                 || '<a href="#">About</a> | <a href="#">Contact</a>'
+                 || '</nav><p>'
+                 || regexp_replace(text, '([.!?]) ', '\\1</p><p>', 'g')
+                 || '</p><footer><a href="#">Privacy</a> BOILERFOOT'
+                 || '</footer></body></html>' AS text,
+                 lang, source, n_chars
+          FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+          WHERE doc_id % 5 = 0
+        ) TO '{corpus_dir}/documents.parquet' (FORMAT PARQUET)
+    """)
+
+    out = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    res = subprocess.run(
+        [sys.executable, "/root/repo/jobs/curate.py",
+         "--input", str(corpus_dir), "--output", out,
+         "--html-extract", "--tokenize", "150", "--shard-by-bpe",
+         "--min-quality", "0", "--max-rep", "1",
+         "--shard-tokens", "2000", "--master", "local[4]"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["input_docs"] == 100
+    assert 0 < summary["after_html_extract"] <= 100
+    assert summary["bpe_merges"] > 20
+    assert summary["shards"] >= 2
+
+    rows = pq.read_table(f"{out}/clean").to_pylist()
+    assert rows
+    assert all("bpe_n_tokens" in r and r["bpe_n_tokens"] > 0 for r in rows)
+    joined = " ".join(r["text"] for r in rows)
+    # the boilerplate wrapper died in stage 0
+    assert "BOILERFOOT" not in joined and "Home | About" not in joined
+    assert os.path.exists(f"{out}/merges.json")
+    with open(f"{out}/merges.json") as fh:
+        merges = json.load(fh)
+    assert len(merges) == summary["bpe_merges"]
