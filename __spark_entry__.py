@@ -175,12 +175,12 @@ DRIVER_TAIL = [
     # in-window q43's line-frequency census + a broadcast semi-join
     # prune, driver-green r4/r5, pytest-pinned
     "q44_drop_common_lines",
-    # q41 demoted when q72 (HTML main-content extraction) joined the
-    # window: the zero-decode JVM timestamp walk is strictly simpler
-    # than the media suite's decoded sampling (sample_frames_decoded,
-    # pytest round-trip vs encoder pixels) and shares q40's in-window
-    # plumbing contract; driver-green r5
-    "q41_frame_sample",
+    # q35 demoted when q72 (HTML main-content extraction) joined the
+    # window (q41 is PARITY_CORE and stays): the LSH-bucketed cosine
+    # probe shares its blocking machinery with in-window q47's multiband
+    # signatures and its ANN contract with in-window q25 (IVF) and q67
+    # (knn_join); driver-green r3/r4/r5, unchanged since r3
+    "q35_lsh_topk",
 ]
 
 
