@@ -181,6 +181,18 @@ DRIVER_TAIL = [
     # signatures and its ANN contract with in-window q25 (IVF) and q67
     # (knn_join); driver-green r3/r4/r5, unchanged since r3
     "q35_lsh_topk",
+    # q49 demoted when q73 (DSIR importance weights) joined the window:
+    # exact any-shared-gram decontamination is the degenerate case of
+    # in-window PARITY_CORE q66's graded containment decontamination
+    # (same bench/corpus split, same shingle machinery, threshold -> any);
+    # driver-green r3/r4/r5, unchanged since r3
+    "q49_decontaminate",
+    # q50 demoted when q74 (DSIR resampling) joined the window: fixed
+    # per-stratum hash sampling is the inner primitive of in-window
+    # q54's temperature mix (same _uniform_col keep rule; q54 only adds
+    # the computed fractions) and q74 itself is the weighted successor;
+    # driver-green r3/r4/r5, unchanged since r3
+    "q50_stratified_sample",
 ]
 
 
@@ -1066,6 +1078,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["q72_html_extract"] = q72
+
+    # q73 DSIR importance weights (Xie et al. 2023 data selection):
+    # hashed unigram+bigram bag-of-buckets models over target (lang='en')
+    # vs raw docs, per-doc log-likelihood-ratio score. Parity is exact
+    # because the per-bucket LLR is rounded ONCE to 4 decimals as an
+    # integer and per-doc scores are integer sums (order-free).
+    def q73(s, d):
+        from pdftableextractor_spark.operators.sampling import (
+            dsir_weights,
+        )
+
+        docs = _docs_str(s, d)
+        return dsir_weights(docs, F.col("lang") == "en", n_buckets=8192)
+
+    q["q73_dsir_weights"] = q73
+
+    # q74 DSIR resampling: Gumbel-top-k selection with probability
+    # proportional to exp(dsir_weight / temperature) — the paper's
+    # importance-resampling step. Parity holds because the ordering keys
+    # are the same double expression tree both engines evaluate over
+    # 1e6-grid uniforms and 1e4-grid weights (the q60 pow-key precedent)
+    def q74(s, d):
+        from pdftableextractor_spark.operators.sampling import (
+            dsir_resample,
+        )
+
+        docs = _docs_str(s, d)
+        return dsir_resample(
+            docs, F.col("lang") == "en", k=100, temperature=2.0
+        ).select("doc_id", "source", "dsir_weight")
+
+    q["q74_dsir_resample"] = q74
 
     # ------------------------------------------------------------------
     # driver-window ordering: the correctness driver verifies only the
@@ -2981,6 +3025,85 @@ SELECT doc_id, CAST(block_no AS INT) AS block_no, text,
               THEN (words > 16 OR nw > 15 OR pw > 4)
             ELSE (words > 40 OR nw > 17) END AS keep
 FROM win
+"""
+
+    # DSIR importance weights: unigram+bigram grams hashed into 8192
+    # buckets, add-one-smoothed target-vs-raw log-likelihood ratio per
+    # bucket rounded ONCE to 4 decimals as a bigint; per-doc score = sum
+    # of those integers / 1e4 (order-free, engine-exact — mirrors
+    # dsir_weights' round(llr*10000) bigint formulation token-for-token)
+    _dsir_weights_sql = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         (lang = 'en') AS t,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, t, g FROM (
+    SELECT doc_id, t, unnest(tk) AS g FROM base
+    UNION ALL
+    SELECT doc_id, t,
+           unnest(tk[1:len(tk)-1]) || chr(31) || unnest(tk[2:len(tk)]) AS g
+    FROM base
+  ) WHERE g IS NOT NULL
+),
+bucketed AS (
+  SELECT doc_id, t,
+         CAST(CAST('0x' || substr(md5(g), 1, 15) AS UBIGINT) AS BIGINT)
+           % 8192 AS bucket
+  FROM grams
+),
+model AS (
+  SELECT bucket,
+         SUM(CASE WHEN t THEN 1 ELSE 0 END) AS tc,
+         SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS rc
+  FROM bucketed GROUP BY bucket
+),
+totals AS (
+  SELECT CAST(SUM(tc) AS BIGINT) AS tt, CAST(SUM(rc) AS BIGINT) AS rt
+  FROM model
+),
+scored AS (
+  SELECT bucket,
+         CAST(round((ln(tc + 1) - ln(tt + 8192) - ln(rc + 1)
+                     + ln(rt + 8192)) * 10000) AS BIGINT) AS llr4
+  FROM model, totals
+),
+per_doc AS (
+  SELECT b.doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(s.llr4) AS BIGINT) AS s4
+  FROM bucketed b JOIN scored s USING (bucket)
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.s4, 0) AS BIGINT) / 10000.0 AS dsir_weight
+FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+"""
+    o["q73_dsir_weights"] = _dsir_weights_sql
+
+    # DSIR resampling: Gumbel-top-k over the q73 weights — key =
+    # weight/temperature - ln(-ln(u_open)) with u_open the shared
+    # 1e6-grid md5 uniform shifted to (0,1); top 100 keys, ties on id
+    o["q74_dsir_resample"] = f"""
+WITH w AS ({_dsir_weights_sql}),
+keyed AS (
+  SELECT d.doc_id, d.source, w.dsir_weight,
+         w.dsir_weight / 2.0
+           - ln(-ln((CAST(CAST(CAST('0x' || substr(
+                 md5('samp:7:' || d.doc_id), 1, 15) AS UBIGINT) AS BIGINT)
+               % 1000000 AS DOUBLE) + 0.5) / 1000000)) AS gkey
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source
+        FROM documents) d
+  JOIN w USING (doc_id)
+)
+SELECT doc_id, source, dsir_weight
+FROM keyed
+ORDER BY gkey DESC, doc_id ASC
+LIMIT 100
 """
 
     # add-one bigram LM mean-transition score; both roundings (per-position

@@ -284,3 +284,198 @@ def weighted_sample(
         .filter(F.col("__wrank") <= k)
         .drop("__wkey", "__wrank")
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every document by the log-likelihood ratio of its hashed n-gram features
+    under a TARGET distribution (the small, high-quality set you want more
+    of — ``target`` is a boolean Column marking those rows) versus the RAW
+    distribution (everything else), both add-one-smoothed bag-of-buckets
+    models:
+
+        weight(d) = sum_{g in grams(d)}
+                      [ ln((tc_g+1)/(T+B)) - ln((rc_g+1)/(R+B)) ]
+
+    with grams = word unigrams + bigrams hashed into ``n_buckets`` (B)
+    buckets, tc/rc the per-bucket gram counts over target/raw docs, and
+    T/R the total gram counts. High weight = looks like the target; feed
+    the weights through ``weighted_sample`` (optionally exp(w/temperature))
+    to perform the resampling step.
+
+    Output: one row per input doc — (id_col, n_grams bigint, dsir_weight
+    double). Docs with no grams get weight 0.0. Every doc is scored,
+    target rows included (callers filter if they want raw-only selection).
+
+    EXACTNESS CONTRACT (driver-oracle-comparable floats): the per-bucket
+    log-likelihood ratio is rounded ONCE to 4 decimals as an integer
+    (round(expr*10000) -> bigint) in the B-row model table; per-doc scores
+    are then SUMS OF INTEGERS (order-free, engine-exact) divided by 1e4 at
+    the edge. Cross-engine ulp drift in ln() only matters within ~4 ulp of
+    a 0.5e-4 rounding boundary of a transcendental value — probability
+    ~1e-10 per distinct bucket, vs per-row ties that a 6-digit float
+    rounding of raw sums would hit in practice.
+
+    Shape at 100 TB: the gram frame is scan-side (one explode; bigrams are
+    built from two shifted array slices zipped element-wise — no second
+    generator, no union re-scan); the model is ONE groupBy(bucket) with
+    map-side combine into exactly B rows; totals are a 1-row broadcast;
+    the score join is gram ⨝ broadcast(B-row model) followed by one
+    groupBy(doc). Nothing quadratic, one corpus-wide shuffle per
+    aggregation, and the model never grows with the corpus — that is the
+    point of hashed features. The gram lineage is consumed by both the
+    model branch and the score branch (2 scans); like the extraction
+    frames, the relational branches are codegen-fast and a materialization
+    round-trip costs more than the recompute.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from pdftableextractor_spark.operators.dedup import tokenize_col
+
+    base = docs.select(
+        F.col(id_col),
+        target.cast("boolean").alias("__t"),
+        F.filter(tokenize_col(F.col(text_col)), lambda x: x != "").alias(
+            "__tk"
+        ),
+    )
+    mlen = F.greatest(F.size(F.col("__tk")) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(F.col("__tk"), 1, mlen),
+        F.slice(F.col("__tk"), 2, mlen),
+        lambda a, b: F.concat(a, F.lit("\x1f"), b),
+    )
+    grams = (
+        base.select(
+            id_col,
+            "__t",
+            F.explode_outer(F.concat(F.col("__tk"), bigrams)).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .select(
+            id_col,
+            "__t",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+                F.lit(n_buckets),
+            ).alias("bucket"),
+        )
+    )
+    model = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("rc"),
+    )
+    totals = model.agg(
+        F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
+    )
+    b = F.lit(n_buckets)
+    # written as ((ln(tc+1) - ln(T+B)) - ln(rc+1)) + ln(R+B), reproduced
+    # token-for-token in the DuckDB oracle so both engines evaluate the
+    # same double expression tree before the single 4-decimal rounding
+    llr = (
+        F.ln(F.col("tc") + 1)
+        - F.ln(F.col("tt") + b)
+        - F.ln(F.col("rc") + 1)
+        + F.ln(F.col("rt") + b)
+    )
+    scored_model = (
+        model.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(llr * 10000).cast("bigint").alias("__llr4"),
+        )
+    )
+    per_doc = (
+        grams.join(F.broadcast(scored_model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("__llr4").alias("__s4"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_grams"),
+            (
+                F.coalesce(F.col("__s4"), F.lit(0)).cast("bigint")
+                / F.lit(10000.0)
+            ).alias("dsir_weight"),
+        )
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target,
+    k: int,
+    temperature: float = 1.0,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """The resampling step of DSIR: draw ``k`` docs without replacement
+    with probability proportional to exp(dsir_weight / temperature) —
+    docs that look like the target are exponentially more likely to
+    survive; ``temperature`` flattens (>1) or sharpens (<1) the
+    selection.
+
+    Implemented as Gumbel-top-k, the log-space form of the
+    Efraimidis-Spirakis keys ``weighted_sample`` uses: key =
+    weight/temperature - ln(-ln(u)) with u the shared deterministic
+    per-id uniform, shifted onto the OPEN interval (0,1) via
+    (h%RES + 0.5)/RES so neither ln is ever evaluated at 0. Taking the
+    top-k keys is exactly exp-weighted sampling without replacement, and
+    staying in log space means a weight of ±1000 is an ADDITION to the
+    key, not an exp() overflow.
+
+    Output: the surviving rows of ``docs`` plus their ``dsir_weight``.
+    Plan shape: the weight computation (see ``dsir_weights``), one
+    id-equi join back to the doc rows, then orderBy+limit — Spark plans
+    the global top-k as TakeOrderedAndProject (per-partition size-k
+    heaps merged on the driver), never a single-task window. Ties break
+    on id for determinism; reproducible across runs and partitionings.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    w = dsir_weights(
+        docs, target, text_col=text_col, n_buckets=n_buckets, id_col=id_col
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"samp:{seed}:"), F.col(id_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u_open = ((h % _RES).cast("double") + F.lit(0.5)) / F.lit(float(_RES))
+    key = F.col("dsir_weight") / F.lit(float(temperature)) - F.ln(
+        -F.ln(u_open)
+    )
+    return (
+        docs.join(w.select(id_col, "dsir_weight"), id_col)
+        .withColumn("__gkey", key)
+        .orderBy(F.desc("__gkey"), F.asc(id_col))
+        .limit(k)
+        .drop("__gkey")
+    )

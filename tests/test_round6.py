@@ -1059,3 +1059,124 @@ def test_curate_funnel_html_and_tokenize_end_to_end(tmp_path):
     with open(f"{out}/merges.json") as fh:
         merges = json.load(fh)
     assert len(merges) == summary["bpe_merges"]
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023 data selection)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from pdftableextractor_spark.operators.sampling import dsir_weights
+
+    # target vocabulary is disjoint from raw vocabulary, so a held-out
+    # doc written in target words must outscore one written in raw words
+    rows = (
+        [(str(i), "alpha beta gamma delta epsilon zeta", True) for i in range(20)]
+        + [(str(100 + i), "one two three four five six", False) for i in range(20)]
+        + [("900", "alpha beta gamma delta", None)]  # target-like probe
+        + [("901", "one two three four", None)]  # raw-like probe
+        + [("902", "", None)]  # no grams
+        + [("903", "   ", None)]  # whitespace only
+    )
+    docs = spark.createDataFrame(
+        [(i, t, bool(i) if f is None else f) for i, t, f in rows],
+        "doc_id string, text string, is_target boolean",
+    )
+    # target flag: the labeled rows only; probes score but don't train
+    out = dsir_weights(
+        docs,
+        F.col("is_target") & F.col("doc_id").cast("int").between(0, 199),
+        n_buckets=512,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == len(rows)  # every doc scored, including empties
+    assert got["902"]["n_grams"] == 0 and got["902"]["dsir_weight"] == 0.0
+    assert got["903"]["n_grams"] == 0 and got["903"]["dsir_weight"] == 0.0
+    assert got["900"]["dsir_weight"] > got["901"]["dsir_weight"]
+    # target words are over-represented in target docs: positive LLR sum
+    assert got["900"]["dsir_weight"] > 0.0
+    assert got["901"]["dsir_weight"] < 0.0
+    # unigrams + bigrams: 4 tokens -> 4 + 3 grams
+    assert got["900"]["n_grams"] == 7
+
+
+def test_dsir_weights_plan_shape(spark):
+    from pdftableextractor_spark.operators.sampling import dsir_weights
+
+    docs = spark.createDataFrame(
+        [("1", "a b c", True), ("2", "d e f", False)],
+        "doc_id string, text string, t boolean",
+    )
+    out = dsir_weights(docs, F.col("t"), n_buckets=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the B-row model joins the gram stream broadcast, never shuffled
+    assert "BroadcastHashJoin" in plan
+    # pure relational: no Python UDF evaluation anywhere in the plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_dsir_weights_validates_buckets(spark):
+    from pdftableextractor_spark.operators.sampling import dsir_weights
+
+    docs = spark.createDataFrame(
+        [("1", "a", True)], "doc_id string, text string, t boolean"
+    )
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_weights(docs, F.col("t"), n_buckets=1)
+
+
+def test_dsir_resample_prefers_target_like_docs(spark):
+    from pdftableextractor_spark.operators.sampling import dsir_resample
+
+    # 30 labeled target docs + 30 labeled raw docs with disjoint
+    # vocabulary, then 40 unlabeled probes of each style; a sharp
+    # (low-temperature) resample of the probes must be dominated by
+    # target-style rows
+    rows = []
+    for i in range(30):
+        rows.append((f"t{i}", "alpha beta gamma delta epsilon", "lab_t"))
+        rows.append((f"r{i}", "one two three four five", "lab_r"))
+    for i in range(40):
+        rows.append((f"pt{i}", "alpha beta gamma delta epsilon", "probe_t"))
+        rows.append((f"pr{i}", "one two three four five", "probe_r"))
+    docs = spark.createDataFrame(
+        rows, "doc_id string, text string, grp string"
+    )
+    out = dsir_resample(
+        docs, F.col("grp") == "lab_t", k=20, temperature=0.25, n_buckets=512
+    )
+    got = out.collect()
+    assert len(got) == 20
+    assert {"doc_id", "text", "grp", "dsir_weight"} <= set(out.columns)
+    kinds = [r["grp"] for r in got]
+    # at T=0.25 the weight gap is tens of nats: raw-style rows are
+    # e^{-huge} relative — none survive
+    assert all(k in ("lab_t", "probe_t") for k in kinds), kinds
+
+
+def test_dsir_resample_is_global_topk_not_window(spark):
+    from pdftableextractor_spark.operators.sampling import dsir_resample
+
+    docs = spark.createDataFrame(
+        [(str(i), "a b c", i % 2 == 0) for i in range(40)],
+        "doc_id string, text string, t boolean",
+    )
+    out = dsir_resample(docs, F.col("t"), k=5, n_buckets=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert out.count() == 5
+
+
+def test_dsir_resample_validates(spark):
+    from pdftableextractor_spark.operators.sampling import dsir_resample
+
+    docs = spark.createDataFrame(
+        [("1", "a", True)], "doc_id string, text string, t boolean"
+    )
+    with pytest.raises(ValueError, match="k must"):
+        dsir_resample(docs, F.col("t"), k=0)
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_resample(docs, F.col("t"), k=1, temperature=0.0)
