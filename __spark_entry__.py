@@ -193,6 +193,12 @@ DRIVER_TAIL = [
     # the computed fractions) and q74 itself is the weighted successor;
     # driver-green r3/r4/r5, unchanged since r3
     "q50_stratified_sample",
+    # q25 demoted when q75 (SQ8 quantized rerank) joined the window: the
+    # coarse single-query IVF probe is in-window q67's cell-blocked
+    # kernel machinery in single-query form, its centroid fit is
+    # in-window q39, and q75 now carries the ANN candidate-cut + exact
+    # round-6 rerank contract; driver-green r3/r4/r5, unchanged since r2
+    "q25_ivf_topk",
 ]
 
 
@@ -1110,6 +1116,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "source", "dsir_weight")
 
     q["q74_dsir_resample"] = q74
+
+    # q75 SQ8 quantized ANN: symmetric int8 scalar quantization of the
+    # normalized vectors (one global scale), integer code-dot first pass,
+    # exact-cosine rerank of the top rerank·k. The candidate cut is an
+    # INTEGER ordering (engine-exact, no float-sum order sensitivity) and
+    # the rerank reuses the q24 round-6 cosine contract
+    def q75(s, d):
+        from pdftableextractor_spark.operators.similarity import sq8_topk
+
+        return sq8_topk(_t(s, d, "embeddings"), _qvec(s, d), k=10, rerank=4)
+
+    q["q75_sq8_topk"] = q75
 
     # ------------------------------------------------------------------
     # driver-window ordering: the correctness driver verifies only the
@@ -3104,6 +3122,44 @@ SELECT doc_id, source, dsir_weight
 FROM keyed
 ORDER BY gkey DESC, doc_id ASC
 LIMIT 100
+"""
+
+    # SQ8 quantized ANN with exact rerank: codes = floor((x/nrm)·128/s)
+    # clamped to [−128,127] with s = max |normalized value| over the
+    # corpus (order-free max); candidate cut = top 40 by the INTEGER
+    # code-dot (engine-exact ordering); final = exact cosine round-6 of
+    # the candidates — the same expression chain sq8_topk's kernels run
+    o["q75_sq8_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM e
+),
+dims AS (
+  SELECT vec_id,
+         unnest(range(len(v))) AS dim,
+         unnest(v) / (CASE WHEN nrm > 0 THEN nrm ELSE 1 END) AS nv
+  FROM n
+),
+sc AS (SELECT max(abs(nv)) AS s FROM dims),
+codes AS (
+  SELECT vec_id, dim,
+         CAST(LEAST(127, GREATEST(-128, floor(nv * 128 / s))) AS BIGINT)
+           AS c
+  FROM dims, sc
+),
+qc AS (SELECT dim, c AS qcode FROM codes WHERE vec_id = 0),
+adot AS (
+  SELECT codes.vec_id, SUM(c * qcode) AS a
+  FROM codes JOIN qc USING (dim) GROUP BY codes.vec_id
+),
+cand AS (SELECT vec_id FROM adot ORDER BY a DESC, vec_id LIMIT 40)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.v,
+             (SELECT v FROM e WHERE vec_id = 0)), 6) AS cos
+FROM e JOIN cand USING (vec_id)
+ORDER BY cos DESC, e.vec_id LIMIT 10
 """
 
     # add-one bigram LM mean-transition score; both roundings (per-position

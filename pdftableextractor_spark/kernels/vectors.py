@@ -285,3 +285,86 @@ def lsh_multi_match_udf(planes_list, query_vec):
     return k
 
 
+def _sq8_normalized(m: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalization with a zero-norm guard (zero vectors stay
+    zero). Quantizing the NORMALIZED vector is what makes the integer code
+    dot product a cosine proxy — raw-value codes would rank by magnitude."""
+    norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+    return m / np.where(norms > 0, norms, 1.0)[:, None]
+
+
+def _sq8_codes(m: np.ndarray, scale: float) -> np.ndarray:
+    """Symmetric SQ8: code = floor(v·128 / scale) clamped to [−128, 127]
+    over row-normalized values v, with ONE global scale (= max |v| over the
+    corpus). A single scale — not per-dim spans — is load-bearing: with
+    per-dim scales the integer dot Σ c_i·q_i mixes dimensions with
+    different units and stops being monotone in Σ v_i·u_i; with one scale
+    it approximates (128/scale)²·cosine directly. floor (not round) keeps
+    the binning engine-exact: floor of identical IEEE doubles agrees
+    across engines, while round semantics differ on exact .5
+    representations."""
+    v = _sq8_normalized(m)
+    c = np.floor(v * 128.0 / scale)
+    return np.clip(c, -128.0, 127.0).astype(np.int64)
+
+
+def sq8_absmax_partials(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: ONE row per partition with max |v| over the
+    row-normalized embedding values — the bounded-stats pass that fits the
+    SQ8 scale. The reduce is a ≤ #partitions-row driver fold (the
+    centroid-collect budget class); max is order-free so the split is
+    exact. Empty partitions emit nothing."""
+    mx = None
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        m = np.vstack(pdf.iloc[:, 0].to_numpy()).astype(np.float64, copy=False)
+        b = float(np.abs(_sq8_normalized(m)).max())
+        mx = b if mx is None else max(mx, b)
+    if mx is not None:
+        yield pd.DataFrame({"mx": [mx]})
+
+
+def sq8_code_udf(scale: float):
+    """UDF: embedding → array<int> of symmetric SQ8 codes (−128..127) of
+    the row-normalized vector — the storage form. Parquet bit-packs the
+    small ints to ~a byte, so a materialized code table scans ~4× less I/O
+    than float32 vectors; the first-pass candidate scan reads only it."""
+    s = float(scale)
+
+    @pandas_udf("array<int>")
+    def k(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for sr in batches:
+            if not len(sr):
+                yield pd.Series(np.empty(0, dtype=object))
+                continue
+            codes = _sq8_codes(_matrix(sr), s)
+            yield pd.Series(list(codes.astype(np.int32)))
+
+    return k
+
+
+def sq8_adot_to_query_udf(scale: float, qcode):
+    """UDF: embedding → bigint approximate cosine score = integer dot of
+    the row's symmetric SQ8 codes with the pre-quantized query codes,
+    ≈ (128/scale)²·cosine. Quantize + dot fuse into one kernel (one
+    elementwise pass + one matrix-vector product per Arrow batch) so the
+    candidate scan never materializes a code column. Exact integer
+    arithmetic — |codes| ≤ 128, the dot is ≤ dim·128², int64-safe — which
+    makes the candidate ORDERING engine-exact (no float-sum order
+    sensitivity at the cut boundary)."""
+    s = float(scale)
+    q = np.asarray(list(qcode), dtype=np.int64)
+
+    @pandas_udf("bigint")
+    def k(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for sr in batches:
+            if not len(sr):
+                yield pd.Series(np.empty(0, dtype=np.int64))
+                continue
+            codes = _sq8_codes(_matrix(sr), s)
+            yield pd.Series(codes @ q)
+
+    return k

@@ -840,3 +840,128 @@ def ivf_drift_report(
         "empty_cells": int(row["empty"]),
         "needs_rebuild": bool(ratio > max_over_median),
     }
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization: compressed first-pass scan + exact rerank
+# ---------------------------------------------------------------------------
+
+
+def sq8_scale(embeddings: DataFrame, emb_col: str = "embedding") -> float:
+    """The global SQ8 quantization scale: max |v| over the row-normalized
+    embedding values of the corpus.
+
+    One scan: a mapInPandas partial-stats kernel emits ONE double per
+    partition; the driver folds the ≤ #partitions partials — a bounded
+    collect in the k-row-centroid budget class. max is order-free, so the
+    split is exact regardless of partitioning. At index-build time the
+    scale is computed once and stored with the codes; queries never rescan
+    for it."""
+    from pdftableextractor_spark.kernels.vectors import sq8_absmax_partials
+
+    rows = (
+        embeddings.select(emb_col)
+        .mapInPandas(sq8_absmax_partials, schema="mx double")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("sq8_scale: no embeddings to fit on")
+    mx = max(float(r["mx"]) for r in rows)
+    if mx <= 0:
+        raise ValueError("sq8_scale: all-zero embeddings")
+    return mx
+
+
+def sq8_quantize(
+    embeddings: DataFrame,
+    scale: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Quantize an embedding column to symmetric SQ8 codes: (id_col, code
+    array<int> of −128..127) of the row-normalized vectors under a fixed
+    global ``scale`` (from ``sq8_scale``) — the storage form of the
+    compressed ANN scan. Parquet bit-packs the small ints to about a byte
+    each, so a code table scans ~4× less I/O than float32 vectors; at
+    corpus scale the first-pass candidate scan reads ONLY this table and
+    full-precision vectors are fetched for rerank candidates alone.
+
+    Code rule (engine-exact, kernels._sq8_codes): floor(v·128/scale)
+    clamped to [−128, 127], v the L2-normalized row (zero vectors stay
+    zero). floor-binning over identical IEEE doubles is deterministic
+    across engines — the reason this is floor, not round."""
+    from pdftableextractor_spark.kernels.vectors import sq8_code_udf
+
+    code = sq8_code_udf(scale)
+    return embeddings.select(
+        F.col(id_col), code(F.col(emb_col)).alias("code")
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by cosine via symmetric SQ8 quantization with
+    exact rerank — the compressed-scan ANN path (the scalar-quantization
+    pattern of the FAISS family, re-expressed relationally):
+
+      1. fit the global scale (one bounded-stats pass),
+      2. first pass: score every row by the INTEGER dot of its SQ8 codes
+         with the pre-quantized query, ≈ (128/scale)²·cosine (quantize +
+         dot fused in one Arrow kernel), and keep the top ``rerank·k``
+         candidates — Spark plans the global top-m·k as
+         TakeOrderedAndProject (per-partition size-m·k heaps merged on the
+         driver, no sort shuffle), and the heap rows CARRY the
+         full-precision vector so the rerank needs no second corpus scan
+         or join-back,
+      3. rerank the m·k survivors by exact cosine; emit the top k.
+
+    Result contract matches ``cosine_topk``: (vec_id, cos rounded to 6),
+    ties on vec_id. Approximate by construction — 8-bit codes can misrank
+    near-boundary candidates; ``rerank`` widens the net (recall→1 as it
+    grows). Every ordering decision is engine-exact: the candidate cut is
+    an integer sort with id ties, the final cosine reuses the q24 rounding
+    contract — so a SQL oracle replicates the result bit-for-bit.
+
+    Scale shape: two scans total (stats fold to #partitions rows;
+    candidate pass with size-m·k heaps) and no shuffle beyond the
+    TakeOrdered merge. With codes materialized via ``sq8_quantize`` the
+    candidate pass reads the ~4×-smaller code table instead."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rerank < 1:
+        raise ValueError(f"rerank must be >= 1, got {rerank}")
+    import numpy as np
+
+    from pdftableextractor_spark.kernels.vectors import (
+        _sq8_codes,
+        sq8_adot_to_query_udf,
+    )
+
+    scale = sq8_scale(embeddings, emb_col=emb_col)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qcode = _sq8_codes(q.reshape(1, -1), scale)[0]
+    adot = sq8_adot_to_query_udf(scale, qcode.tolist())
+    cand = (
+        embeddings.select(
+            F.col(id_col),
+            F.col(emb_col),
+            adot(F.col(emb_col)).alias("__adot"),
+        )
+        .orderBy(F.desc("__adot"), F.asc(id_col))
+        .limit(k * rerank)
+    )
+    cos = cosine_to_query_udf(query_vec)
+    return (
+        cand.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cos(F.col(emb_col)), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )

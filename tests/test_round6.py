@@ -1180,3 +1180,114 @@ def test_dsir_resample_validates(spark):
         dsir_resample(docs, F.col("t"), k=0)
     with pytest.raises(ValueError, match="temperature"):
         dsir_resample(docs, F.col("t"), k=1, temperature=0.0)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized ANN with exact rerank
+# ---------------------------------------------------------------------------
+
+
+def _synth_embeddings(spark, n=200, dim=32, seed=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    m = rng.standard_normal((n, dim))
+    rows = [(i, [float(x) for x in m[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    from pdftableextractor_spark.operators.similarity import (
+        cosine_topk,
+        sq8_topk,
+    )
+
+    emb = _synth_embeddings(spark)
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
+    got = sq8_topk(emb, qv, k=10, rerank=4).collect()
+    assert len(got) == 10
+    assert len(exact & {r["vec_id"] for r in got}) >= 8
+    # self-match survives quantization: vec 0 tops its own query
+    assert got[0]["vec_id"] == 0 and got[0]["cos"] == 1.0
+
+
+def test_sq8_codes_match_pure_python(spark):
+    import math
+
+    from pdftableextractor_spark.operators.similarity import (
+        sq8_quantize,
+        sq8_scale,
+    )
+
+    emb = _synth_embeddings(spark, n=40, dim=8)
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    normed = {}
+    for i, v in rows.items():
+        nrm = math.sqrt(sum(float(x) * float(x) for x in v))
+        normed[i] = [float(x) / (nrm if nrm > 0 else 1.0) for x in v]
+    s = max(abs(x) for v in normed.values() for x in v)
+    assert abs(sq8_scale(emb) - s) < 1e-12
+    want = {
+        i: [max(-128, min(127, math.floor(x * 128.0 / s))) for x in v]
+        for i, v in normed.items()
+    }
+    got = {r["vec_id"]: list(r["code"]) for r in sq8_quantize(emb, s).collect()}
+    assert got == want
+    flat = [c for v in got.values() for c in v]
+    assert min(flat) >= -128 and max(flat) <= 127
+
+
+def test_sq8_zero_vector_codes_to_zero(spark):
+    from pdftableextractor_spark.operators.similarity import (
+        sq8_quantize,
+        sq8_scale,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    s = sq8_scale(emb)
+    got = {r["vec_id"]: list(r["code"]) for r in sq8_quantize(emb, s).collect()}
+    assert got[1] == [0, 0]
+    # the unit vector's live dim hits the max-|v| bound: floor(128) -> 127
+    assert got[0] == [127, 0]
+
+
+def test_sq8_topk_plan_shape(spark):
+    from pdftableextractor_spark.operators.similarity import sq8_topk
+
+    emb = _synth_embeddings(spark, n=50, dim=8)
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    out = sq8_topk(emb, qv, k=5, rerank=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # global top-m·k is per-partition heaps, never a single-task sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    # Arrow-batched kernels only, no row-at-a-time Python
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert out.count() == 5
+
+
+def test_sq8_validates(spark):
+    from pdftableextractor_spark.operators.similarity import (
+        sq8_scale,
+        sq8_topk,
+    )
+
+    emb = _synth_embeddings(spark, n=10, dim=4)
+    qv = [1.0, 0.0, 0.0, 0.0]
+    with pytest.raises(ValueError, match="k must"):
+        sq8_topk(emb, qv, k=0)
+    with pytest.raises(ValueError, match="rerank"):
+        sq8_topk(emb, qv, k=1, rerank=0)
+    zero = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="all-zero"):
+        sq8_scale(zero)
+    empty = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="no embeddings"):
+        sq8_scale(empty)
