@@ -1031,7 +1031,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sequential skip-ahead so the DuckDB oracle can express boundaries
     # as pure candidate positions of the gear hash
     def q71(s, d):
-        base = _docs_str(s, d).select("doc_id", "text")
+        # the OPERATOR is byte-true (it chunks whatever bytes it is
+        # given); the driver pins parity on a printable-ASCII projection
+        # of the text because DuckDB 1.0 has no blob substring/sha256 —
+        # its oracle walks VARCHAR characters, which equal UTF-8 bytes
+        # only for ASCII. Projecting BOTH sides makes the equivalence
+        # hold by construction instead of by corpus accident
+        base = _docs_str(s, d).select(
+            "doc_id",
+            F.regexp_replace("text", r"[^\x20-\x7E]", "").alias("text"),
+        )
         assets = base.select(
             F.concat(F.lit("o-"), "doc_id").alias("asset_id"),
             F.encode("text", "utf-8").alias("payload"),
@@ -1068,7 +1077,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs_str(s, d)
         html = F.concat(
             F.lit(
-                '<html><body><nav><a href="#">Home</a> | '
+                "<html><head><style>body { margin: 0; color: #333; }"
+                "</style><script>var config = { tracking: true, words:"
+                ' "lots of plain words that must never classify as'
+                ' content" };</script></head>'
+                '<body><!-- rendered 2026 --><nav><a href="#">Home</a> | '
                 '<a href="#">About</a> | <a href="#">Contact</a>'
                 "</nav><p>"
             ),
@@ -2915,15 +2928,24 @@ WITH gear_t AS (
               AS BIGINT) AS tlo
   FROM gear_t CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
 ), base AS (
-  SELECT CAST(doc_id AS VARCHAR) AS did, text FROM documents
+  -- printable-ASCII projection: chars == UTF-8 bytes by construction
+  -- (mirrors the engine query; DuckDB 1.0 has no blob byte ops, so the
+  -- character walk below is byte-faithful only on this projection)
+  SELECT CAST(doc_id AS VARCHAR) AS did,
+         regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS text
+  FROM documents
 ), assets AS (
   SELECT 'o-' || did AS asset_id, text AS payload FROM base
   UNION ALL
   SELECT 't-' || did, substring(text, 1, greatest(length(text)//2, 1))
   FROM base
 ), prep AS (
-  SELECT asset_id, payload, length(payload) AS n
-  FROM assets WHERE payload IS NOT NULL AND length(payload) > 0
+  -- NULL = empty (the engine kernel's rule); empty payloads flow
+  -- through with n = 0 and emit the single empty-chunk signature via
+  -- the LEFT JOIN + list_append(…, n) below
+  SELECT asset_id, coalesce(payload, '') AS payload,
+         length(coalesce(payload, '')) AS n
+  FROM assets
 ), bytes AS (
   SELECT asset_id, n, unnest(range(1, n+1)) AS p,
          unnest(list_transform(range(1, n+1),
@@ -2944,7 +2966,7 @@ WITH gear_t AS (
 ), ed AS (
   SELECT p.asset_id, p.payload,
          list_append(coalesce(c.cands, []), p.n) AS ends
-  FROM prep p JOIN cand c ON c.asset_id = p.asset_id
+  FROM prep p LEFT JOIN cand c ON c.asset_id = p.asset_id
 ), ch AS (
   SELECT asset_id,
     unnest(list_transform(range(1, len(ends)+1), i ->
@@ -2999,15 +3021,26 @@ WHERE i.shared * 1000000 >= 500000 * least(x.sz, y.sz)
     )
     _LINK_RE = "(?is)<a\\b[^>]*>(.*?)</a>"
     o["q72_html_extract"] = f"""
-WITH src AS (
+WITH raw AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         '<html><body><nav><a href="#">Home</a> | '
+         '<html><head><style>body {{ margin: 0; color: #333; }}'
+         || '</style><script>var config = {{ tracking: true, words:'
+         || ' "lots of plain words that must never classify as'
+         || ' content" }};</script></head>'
+         || '<body><!-- rendered 2026 --><nav><a href="#">Home</a> | '
          || '<a href="#">About</a> | <a href="#">Contact</a></nav><p>'
          || regexp_replace(text, '([.!?]) ', '\\1</p><p>', 'g')
          || '</p><div><a href="#">share</a> <a href="#">tweet</a>'
          || '</div><footer><a href="#">Privacy &amp; Terms</a> '
          || '(c) 2026</footer></body></html>' AS html
   FROM documents
+), src AS (
+  SELECT doc_id,
+         regexp_replace(html,
+           '(?is)<script\\b[^>]*>.*?</script>'
+           || '|<style\\b[^>]*>.*?</style>|<!--.*?-->',
+           ' ', 'g') AS html
+  FROM raw
 ), segl AS (
   SELECT doc_id, string_split_regex(html, '{_BLOCK_RE}') AS l FROM src
 ), segx AS (

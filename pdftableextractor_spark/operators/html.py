@@ -27,6 +27,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# non-content elements whose INNER TEXT must never reach the classifier:
+# script/style bodies are code, not prose (word-rich JS would otherwise
+# classify as content), and comments are invisible. Stripped BEFORE block
+# segmentation. Written without backreferences so the DuckDB (RE2) oracle
+# can run the identical pattern; an unterminated <script>/<style> (no
+# closing tag) is left in place — a malformed-input degrade, not silent
+# data loss
+NOISE_RE = (
+    r"(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>"
+    r"|<!--.*?-->"
+)
+
 # block-level boundaries: opening OR closing forms of the structural
 # tags; everything between two boundaries is one candidate text block
 BLOCK_SPLIT_RE = (
@@ -95,7 +107,10 @@ def html_blocks(
         docs.select(
             id_col,
             F.posexplode(
-                F.split(F.col(html_col), BLOCK_SPLIT_RE)
+                F.split(
+                    F.regexp_replace(F.col(html_col), NOISE_RE, " "),
+                    BLOCK_SPLIT_RE,
+                )
             ).alias("__pos", "__seg"),
         )
         .select(

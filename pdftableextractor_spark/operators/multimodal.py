@@ -482,12 +482,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     frame = None  # (h, w, comps) from SOF0
     scan = None  # (comp table assignment, entropy-segment list)
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         m = payload[pos + 1]
         if m == 0xD9:  # EOI
             break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM/RSTn: standalone, no length
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
@@ -1472,7 +1480,7 @@ _CDC_GEAR = np.frombuffer(
 
 def cdc_boundaries(
     data: bytes,
-    avg_bits: int = 6,
+    avg_bits: int = 13,
     min_size: int | None = None,
     max_size: int | None = None,
 ) -> list[int]:
@@ -1528,14 +1536,16 @@ def _cdc_kernel(avg_bits: int, min_size: int | None, max_size: int | None):
             for aid, payload in zip(
                 pdf["asset_id"].values, pdf["payload"].values
             ):
-                if payload is None:
-                    continue  # nothing content-derived to chunk
-                pb = bytes(payload)
-                start = 0
-                for end in cdc_boundaries(
+                # NULL = empty, matching the perceptual suites' degrade
+                # rule; an empty payload emits the single empty-chunk
+                # signature so byte-identical empties still pair exactly
+                pb = b"" if payload is None else bytes(payload)
+                ends = cdc_boundaries(
                     pb, avg_bits=avg_bits, min_size=min_size,
                     max_size=max_size,
-                ):
+                ) or [0]
+                start = 0
+                for end in ends:
                     ids.append(aid)
                     hashes.append(
                         hashlib.sha256(pb[start:end]).hexdigest()[:32]
@@ -1553,16 +1563,25 @@ def _cdc_kernel(avg_bits: int, min_size: int | None, max_size: int | None):
 
 def cdc_chunk_hashes(
     assets: DataFrame,
-    avg_bits: int = 6,
+    avg_bits: int = 13,
     min_size: int | None = None,
     max_size: int | None = None,
 ) -> DataFrame:
     """(asset_id, chash) — one row per content-defined chunk of each
     payload, ANY kind (chunking never decodes, so there is no degrade
-    path: every non-NULL payload has a real signature). chash is 128
+    path: every payload has a real signature; NULL counts as empty and
+    empty payloads emit the single empty-chunk hash so byte-identical
+    empties pair exactly, like every other modality). chash is 128
     bits of sha256 over the chunk bytes — at 10^12 corpus chunks the
     birthday bound keeps accidental collisions negligible, which a
-    64-bit chunk hash would not."""
+    64-bit chunk hash would not.
+
+    The default ``avg_bits=13`` targets 8 KiB expected chunks — the
+    FastCDC-class production range, keeping the signature table ~0.5%
+    of corpus bytes (32 hex chars per ~8 KiB). Small payloads (tests,
+    toy corpora) should pass a small ``avg_bits`` explicitly; at the
+    old default of 6 the signature table is ~50% of the corpus, which
+    only makes sense below a few KB per asset."""
     return assets.select("asset_id", "payload").mapInPandas(
         _cdc_kernel(avg_bits, min_size, max_size),
         schema="asset_id string, chash string",
@@ -1572,7 +1591,7 @@ def cdc_chunk_hashes(
 def binary_near_dups(
     assets: DataFrame,
     threshold: float = 0.8,
-    avg_bits: int = 6,
+    avg_bits: int = 13,
     min_size: int | None = None,
     max_size: int | None = None,
     max_chunk_df: int = 1000,

@@ -17,8 +17,8 @@ Scale shape (100 TB):
   training is the standard practice trade: dropped singleton types
   contribute ~nothing to pair statistics under a Zipf distribution.
 * Encoding is embarrassingly parallel: an Arrow-batched kernel with the
-  merge table in the closure (a few thousand pairs) and a per-batch
-  word cache — Zipf again means the cache absorbs almost every lookup,
+  merge table in the closure (a few thousand pairs) and a bounded
+  per-partition word cache — Zipf means the cache absorbs almost every lookup,
   so the per-word merge loop runs on the long tail only.
 
 Merges apply IN TRAINING ORDER with a single left-to-right
@@ -38,7 +38,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # end-of-word sentinel: lets the vocabulary distinguish "er" in "higher"
-# from the standalone word "er", and makes decoding lossless
+# from the standalone word "er", and makes decoding lossless. The
+# character is RESERVED: a literal U+2581 in corpus text normalizes to a
+# space during pre-tokenization (train and encode alike), otherwise it
+# would collide with the marker — end-of-word merges would misapply to
+# it and decode would silently turn it into spaces anyway. Normalizing
+# up front keeps '<word>▁<word>' and '<word> <word>' identical
+# everywhere instead of only after a lossy decode.
 EOW = "▁"
 
 # pre-tokenization reuses the repo's frozen BPE-ish regex so
@@ -113,7 +119,10 @@ def train_bpe(
         docs.select(
             F.explode(
                 F.regexp_extract_all(
-                    F.col(text_col), F.lit(TOKEN_RE), F.lit(0)
+                    # reserved-sentinel normalization (see EOW)
+                    F.replace(F.col(text_col), F.lit(EOW), F.lit(" ")),
+                    F.lit(TOKEN_RE),
+                    F.lit(0),
                 )
             ).alias("word")
         )
@@ -142,14 +151,22 @@ def _encode_kernel(merges: list[tuple[str, str]], text_col: str):
     tok_re = re.compile(TOKEN_RE)
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition word cache, BOUNDED: Zipf means a modest cap
+        # absorbs almost every lookup, and the clear-at-cap rule keeps
+        # worker RSS flat on high-word-type-cardinality partitions
+        # (base64 blobs, URLs, random ids) instead of growing without
+        # limit for the lifetime of the partition
         cache: dict[str, list[str]] = {}
+        cache_cap = 1 << 18
         for pdf in batches:
             ids, toks, counts = [], [], []
             for did, text in zip(pdf["doc_id"].values, pdf[text_col].values):
                 if text is None:
                     text = ""
                 out: list[str] = []
-                for w in tok_re.findall(text):
+                if len(cache) > cache_cap:
+                    cache.clear()
+                for w in tok_re.findall(text.replace(EOW, " ")):
                     enc = cache.get(w)
                     if enc is None:
                         enc = encode_word(w, merges)

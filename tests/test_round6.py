@@ -466,6 +466,15 @@ def test_jpeg_round_trip_and_variants():
     rst = decode_jpeg(_encode_jpeg(px, quality=85, restart_every=2))
     assert (plain == rst).all()
 
+    # T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes — a
+    # spec-legal padded stream decodes identically to its plain twin
+    enc = _encode_jpeg(px, quality=85)
+    padded = enc[:2] + b"\xff\xff" + enc[2:]          # fill before APP/DQT
+    sof = enc.index(b"\xff\xc0")
+    padded2 = enc[:sof] + b"\xff\xff\xff" + enc[sof:]  # fill before SOF0
+    assert (decode_jpeg(padded) == plain).all()
+    assert (decode_jpeg(padded2) == plain).all()
+
 
 def test_jpeg_hostile_and_unsupported_bounded():
     """Honest boundaries and attacker-controlled headers: progressive
@@ -561,7 +570,7 @@ def _pseudo_bytes(tag: str, n: int) -> bytes:
     return bytes(out[:n])
 
 
-def _naive_cdc_boundaries(data, avg_bits=6, min_size=None, max_size=None):
+def _naive_cdc_boundaries(data, avg_bits=13, min_size=None, max_size=None):
     """Per-byte reference for the vectorized gear kernel: h_i =
     (2*h_{i-1} + g(b_i)) mod 2^64, boundary where top avg_bits bits are
     zero, with the same skip-ahead / forced-cut loop."""
@@ -613,7 +622,8 @@ def _naive_cdc_boundaries(data, avg_bits=6, min_size=None, max_size=None):
     ids=["empty", "one", "short", "rand1k", "rand5k", "zeros", "cycle"],
 )
 @pytest.mark.parametrize("kw", [{}, {"min_size": 1, "max_size": 1 << 30},
-                                {"avg_bits": 5}], ids=["default", "nolimits", "b5"])
+                                {"avg_bits": 5}, {"avg_bits": 6}],
+                         ids=["default", "nolimits", "b5", "b6"])
 def test_cdc_boundaries_match_naive_reference(payload, kw):
     from pdftableextractor_spark.operators.multimodal import cdc_boundaries
 
@@ -625,7 +635,7 @@ def test_cdc_boundaries_match_naive_reference(payload, kw):
         return
     assert got[-1] == n
     assert all(a < b for a, b in zip(got, got[1:]))
-    max_size = kw.get("max_size") or 1 << (kw.get("avg_bits", 6) + 2)
+    max_size = kw.get("max_size") or 1 << (kw.get("avg_bits", 13) + 2)
     sizes = [e - s for s, e in zip([0] + got[:-1], got)]
     assert all(1 <= sz <= max_size for sz in sizes)
 
@@ -642,7 +652,7 @@ def test_cdc_edit_resync():
 
     def chunk_set(data):
         out, s = set(), 0
-        for e in cdc_boundaries(data):
+        for e in cdc_boundaries(data, avg_bits=6):
             out.add(_hl.sha256(data[s:e]).hexdigest())
             s = e
         return out
@@ -660,7 +670,10 @@ def test_binary_near_dups_classes(spark):
     APPENDED-suffix copy pairs (only the final chunk differs); a
     TRUNCATED transfer pairs with high containment on the short side
     (the asymmetric class Jaccard under-scores); unrelated payloads
-    don't pair; NULL payloads produce no signature rows."""
+    don't pair; NULL and empty payloads carry the single empty-chunk
+    signature, so byte-identical empties pair exactly (and with nothing
+    else). Small payloads → explicit small avg_bits (the production
+    default targets 8 KiB chunks)."""
     from pdftableextractor_spark.operators.multimodal import (
         binary_near_dups,
         cdc_chunk_hashes,
@@ -675,22 +688,43 @@ def test_binary_near_dups_classes(spark):
             ("trunc", "video", bytearray(base[:2500])),
             ("other", "video", bytearray(_pseudo_bytes("unrelated", 4000))),
             ("nullp", "video", None),
+            ("emptyp", "image", bytearray(b"")),
         ],
         "asset_id string, kind string, payload binary",
     )
-    sigs = cdc_chunk_hashes(assets)
+    sigs = cdc_chunk_hashes(assets, avg_bits=6)
     per = {r[0]: r[1] for r in sigs.groupBy("asset_id").count().collect()}
-    assert "nullp" not in per
+    assert per["nullp"] == 1 and per["emptyp"] == 1   # the empty chunk
     assert per["orig"] == per["reup"] > 30
 
     pairs = {
         tuple(sorted((r["asset_a"], r["asset_b"]))): r["containment"]
-        for r in binary_near_dups(assets, threshold=0.8).collect()
+        for r in binary_near_dups(assets, threshold=0.8, avg_bits=6).collect()
     }
     assert pairs[("orig", "reup")] == 1.0
     assert pairs[("appended", "orig")] >= 0.9
     assert pairs[("orig", "trunc")] >= 0.9
-    assert not any("other" in p or "nullp" in p for p in pairs), pairs
+    # empties pair with each other (byte-identical) and with nothing else
+    assert pairs[("emptyp", "nullp")] == 1.0
+    assert not any(
+        ("other" in p)
+        or (("nullp" in p or "emptyp" in p) and p != ("emptyp", "nullp"))
+        for p in pairs
+    ), pairs
+
+    # the production default really is KB-scale: one chunk for a small
+    # payload instead of dozens
+    assert (
+        cdc_chunk_hashes(assets).groupBy("asset_id").count().collect()
+        and {
+            r[0]: r[1]
+            for r in cdc_chunk_hashes(assets)
+            .groupBy("asset_id")
+            .count()
+            .collect()
+        }["orig"]
+        <= 3
+    )
 
 
 def test_binary_near_dups_stop_chunk_rule(spark):
@@ -709,8 +743,12 @@ def test_binary_near_dups_stop_chunk_rule(spark):
         rows, "asset_id string, kind string, payload binary"
     )
     # header chunks appear in 8 assets; unique tails share nothing
-    uncapped = binary_near_dups(assets, threshold=0.10, max_chunk_df=1000)
-    capped = binary_near_dups(assets, threshold=0.10, max_chunk_df=4)
+    uncapped = binary_near_dups(
+        assets, threshold=0.10, avg_bits=6, max_chunk_df=1000
+    )
+    capped = binary_near_dups(
+        assets, threshold=0.10, avg_bits=6, max_chunk_df=4
+    )
     assert uncapped.count() > 0          # boilerplate alone crosses 10%
     assert capped.count() == 0           # stop-chunk rule kills it
 
@@ -851,6 +889,41 @@ def test_bpe_encode_unseen_chars_fall_back_to_chars(spark):
     assert toks[i + 1 :] == ["z", "z", "z", EOW]  # unseen stays chars
 
 
+def test_bpe_reserved_sentinel_normalizes_to_space(spark):
+    """A literal U+2581 in corpus text is the RESERVED end-of-word
+    marker: pre-tokenization normalizes it to a space in train AND
+    encode, so 'a▁b' and 'a b' are identical everywhere — no
+    misapplied end-of-word merges, no decode corruption."""
+    from pdftableextractor_spark.operators.tokenize import (
+        EOW,
+        bpe_encode,
+        train_bpe,
+    )
+
+    plain = spark.createDataFrame(
+        [("a", "lower lower lowest lowest")], "doc_id string, text string"
+    )
+    littered = spark.createDataFrame(
+        [("a", f"lower{EOW}lower{EOW}lowest{EOW}lowest")],
+        "doc_id string, text string",
+    )
+    m_plain = train_bpe(plain, n_merges=20)
+    m_littered = train_bpe(littered, n_merges=20)
+    assert m_plain == m_littered
+
+    probe = spark.createDataFrame(
+        [("q1", f"low{EOW}low"), ("q2", "low low")],
+        "doc_id string, text string",
+    )
+    enc = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(probe, m_plain).collect()
+    }
+    assert enc["q1"] == enc["q2"]
+    # decode contract holds on the normalized stream
+    assert "".join(enc["q1"]).replace(EOW, " ").strip() == "low low"
+
+
 def test_bpe_hapax_pairs_not_memorized():
     from pdftableextractor_spark.operators.tokenize import (
         train_bpe_from_counts,
@@ -988,6 +1061,50 @@ def test_html_blocks_edges(spark):
     assert "e1" not in out and "e2" not in out
     assert not out["e3"]["keep"]          # 3 words, empty neighbors
     assert out["e4"]["keep"]              # curr_numWords > 16 alone
+
+
+def test_html_script_style_comment_never_classify_as_content(spark):
+    """Script/style bodies and comments are stripped BEFORE block
+    segmentation — word-rich JS must not reach the classifier (it has
+    link_density 0 and would otherwise keep as content). An unterminated
+    script is the documented malformed-input degrade: content survives."""
+    from pdftableextractor_spark.operators.html import (
+        extract_main_text,
+        html_main_content,
+    )
+
+    body = (
+        "<p>a real paragraph that is long enough on its own to pass "
+        "the seventeen word floor with plenty of room to spare</p>"
+    )
+    docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                "<script>var a = 'lots and lots of plain words that "
+                "would sail far past every word floor in the decision "
+                "tree if counted';</script>"
+                "<style>body { margin: 0; } .nav a { color: red; }</style>"
+                "<!-- a comment with many words that also must never "
+                "count toward anything at all here -->" + body,
+            ),
+            # multiple scripts + attributes + newlines inside one doc
+            (
+                "d2",
+                '<script type="text/javascript">\nx = 1;\n</script>'
+                + body
+                + "<SCRIPT>y = 2;</SCRIPT>",
+            ),
+        ],
+        "doc_id string, html string",
+    )
+    blocks = html_main_content(docs).collect()
+    texts = " ".join(r["text"] for r in blocks)
+    assert "var a" not in texts and "margin" not in texts
+    assert "comment" not in texts and "y = 2" not in texts
+    out = {r["doc_id"]: r["text"] for r in extract_main_text(docs).collect()}
+    assert out["d1"].startswith("a real paragraph")
+    assert out["d2"] == out["d1"]
 
 
 def test_html_main_content_plan_is_jvm_only(spark):
