@@ -284,6 +284,16 @@ def build_queries(spark, sf_dir: str, synth_path: str):
         "html_extract": lambda: _materialize(
             entry.queries()["q72_html_extract"](spark, sf_dir)
         ),
+        # round-6: DSIR importance weights (hashed-gram LLR model) — the
+        # q73 driver shape (one model agg + broadcast score join)
+        "dsir_weights": lambda: _materialize(
+            entry.queries()["q73_dsir_weights"](spark, sf_dir)
+        ),
+        # round-6: SQ8 quantized ANN (stats pass + fused int-dot scan +
+        # exact rerank) — the q75 driver shape
+        "sq8_topk": lambda: _materialize(
+            entry.queries()["q75_sq8_topk"](spark, sf_dir)
+        ),
     }
 
 
