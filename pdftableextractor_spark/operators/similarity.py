@@ -965,3 +965,146 @@ def sq8_topk(
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def build_sq8_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Build and PERSIST an SQ8 index — the build-once / query-many split
+    for the compressed-scan ANN path (``sq8_topk`` refits the scale and
+    rescans float32 per query; production quantizes once):
+
+      <path>/vectors  (vec_id, embedding, build_id)   full precision —
+                      the rerank fetch side
+      <path>/codes    (vec_id, code array<int>, build_id)   the 4×-
+                      smaller scan side: EVERY query's candidate pass
+                      reads only this table
+      <path>/meta     (scale double, build_id string)   1 row
+
+    Same torn-rebuild discipline as ``build_ivf_index``: the build_id is
+    deterministic (row count + content fingerprint — no wall clock), the
+    scan/fetch tables are written BEFORE meta, and the query path
+    validates the stamps it actually touches (candidates + fetched
+    rows, O(rerank·k)) against meta's, so a build that died between
+    writes is detected rather than silently served."""
+    from pdftableextractor_spark.sources.tables import write_table
+
+    spark = embeddings.sparkSession
+    scale = sq8_scale(embeddings)
+    fp = embeddings.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.expr(
+                f"bit_xor(xxhash64(cast({id_col} as string),"
+                " cast(embedding as string)))"
+            ),
+            F.lit(0),
+        ).alias("h"),
+    ).collect()[0]
+    build_id = f"sq8-n{fp['n']}-x{fp['h']:x}"
+    write_table(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            "embedding",
+            F.lit(build_id).alias("build_id"),
+        ),
+        f"{path}/vectors",
+    )
+    write_table(
+        sq8_quantize(embeddings, scale, id_col=id_col).select(
+            F.col(id_col).alias("vec_id"),
+            "code",
+            F.lit(build_id).alias("build_id"),
+        ),
+        f"{path}/codes",
+    )
+    write_table(
+        spark.createDataFrame(
+            [(float(scale), build_id)], "scale double, build_id string"
+        ),
+        f"{path}/meta",
+    )
+
+
+def sq8_topk_indexed(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    rerank: int = 4,
+) -> DataFrame:
+    """Query a persisted SQ8 index: quantize the query with the STORED
+    scale, scan only the code table for the integer-dot candidate pass
+    (top ``rerank·k`` via TakeOrderedAndProject), then fetch exactly
+    those candidates from the full-precision table through a broadcast
+    semi-join for the exact round-6 cosine rerank.
+
+    Result-identical to ``sq8_topk`` over the same corpus (same scale
+    fit, same codes, same integer candidate ordering, same rerank
+    contract) — pinned by test. Consistency: meta carries the stamp;
+    the candidate rows and the fetched rows each carry build_id and are
+    checked against it post-limit — O(rerank·k) validation, never a
+    full-index pass. A torn rebuild (codes from one build next to
+    vectors or meta from another) trips one of the two checks."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rerank < 1:
+        raise ValueError(f"rerank must be >= 1, got {rerank}")
+    import numpy as np
+
+    from pdftableextractor_spark.kernels.vectors import (
+        _sq8_codes,
+        sq8_adot_codes_udf,
+    )
+    from pdftableextractor_spark.sources.tables import read_path
+
+    meta = read_path(spark, f"{path}/meta").collect()
+    if len(meta) != 1:
+        raise ValueError(
+            f"SQ8 index at {path} is inconsistent: meta has "
+            f"{len(meta)} rows"
+        )
+    scale, stamp = float(meta[0]["scale"]), meta[0]["build_id"]
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qcode = _sq8_codes(q.reshape(1, -1), scale)[0]
+    adot = sq8_adot_codes_udf(qcode.tolist())
+    cand = (
+        read_path(spark, f"{path}/codes")
+        .select("vec_id", "build_id", adot(F.col("code")).alias("__adot"))
+        .orderBy(F.desc("__adot"), F.asc("vec_id"))
+        .limit(k * rerank)
+        .collect()
+    )
+    cb = {r["build_id"] for r in cand}
+    if cb - {stamp}:
+        raise ValueError(
+            f"SQ8 index at {path} is inconsistent (torn rebuild?): meta "
+            f"build {stamp!r} vs candidate codes {sorted(cb)}"
+        )
+    ids = [r["vec_id"] for r in cand]
+    cos = cosine_to_query_udf(query_vec)
+    fetched = (
+        read_path(spark, f"{path}/vectors")
+        .filter(F.col("vec_id").isin(ids))
+        .select(
+            "vec_id",
+            "build_id",
+            F.round(cos(F.col("embedding")), 6).alias("cos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vb = {
+        r["build_id"] for r in fetched.select("build_id").distinct().collect()
+    }
+    if vb - {stamp}:
+        raise ValueError(
+            f"SQ8 index at {path} is inconsistent (torn rebuild?): meta "
+            f"build {stamp!r} vs fetched vectors {sorted(vb)}"
+        )
+    return (
+        fetched.select("vec_id", "cos")
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )

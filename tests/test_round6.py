@@ -1408,3 +1408,69 @@ def test_sq8_validates(spark):
     empty = emb.filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="no embeddings"):
         sq8_scale(empty)
+
+
+def test_sq8_index_build_query_parity_and_torn_rebuild(spark, tmp_path):
+    """The persisted SQ8 index returns EXACTLY what the on-the-fly path
+    returns over the same corpus (same scale fit, codes, integer
+    candidate cut, rerank contract); a torn rebuild (codes stamped by a
+    different build than meta) raises instead of silently serving."""
+    from pdftableextractor_spark.operators.similarity import (
+        build_sq8_index,
+        sq8_topk,
+        sq8_topk_indexed,
+    )
+    from pdftableextractor_spark.sources.tables import read_path, write_table
+
+    emb = _synth_embeddings(spark, n=150, dim=16, seed=11)
+    qv = emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    idx = str(tmp_path / "sq8")
+    build_sq8_index(emb, idx)
+
+    direct = sq8_topk(emb, qv, k=8, rerank=3).collect()
+    indexed = sq8_topk_indexed(spark, idx, qv, k=8, rerank=3).collect()
+    assert [tuple(r) for r in indexed] == [tuple(r) for r in direct]
+
+    # the scan side is the compressed table: codes only, never embeddings
+    codes = read_path(spark, f"{idx}/codes")
+    assert set(codes.columns) == {"vec_id", "code", "build_id"}
+
+    # torn rebuild: re-stamp the code table as if written by another
+    # build (materialize before overwriting the path being read)
+    restamped = spark.createDataFrame(
+        [(r["vec_id"], r["code"], "sq8-n0-xdead") for r in codes.collect()],
+        "vec_id bigint, code array<int>, build_id string",
+    )
+    write_table(restamped, f"{idx}/codes")
+    with pytest.raises(ValueError, match="torn rebuild"):
+        sq8_topk_indexed(spark, idx, qv, k=8, rerank=3)
+
+    # restore codes, tear the VECTORS side instead: fetch check trips
+    build_sq8_index(emb, idx)
+    vecs = read_path(spark, f"{idx}/vectors")
+    torn_vecs = spark.createDataFrame(
+        [
+            (r["vec_id"], r["embedding"], "sq8-n0-xbeef")
+            for r in vecs.collect()
+        ],
+        "vec_id bigint, embedding array<float>, build_id string",
+    )
+    write_table(torn_vecs, f"{idx}/vectors")
+    with pytest.raises(ValueError, match="fetched vectors"):
+        sq8_topk_indexed(spark, idx, qv, k=8, rerank=3)
+
+
+def test_sq8_index_validates(spark, tmp_path):
+    from pdftableextractor_spark.operators.similarity import (
+        build_sq8_index,
+        sq8_topk_indexed,
+    )
+
+    emb = _synth_embeddings(spark, n=20, dim=4)
+    idx = str(tmp_path / "sq8v")
+    build_sq8_index(emb, idx)
+    qv = [1.0, 0.0, 0.0, 0.0]
+    with pytest.raises(ValueError, match="k must"):
+        sq8_topk_indexed(spark, idx, qv, k=0)
+    with pytest.raises(ValueError, match="rerank"):
+        sq8_topk_indexed(spark, idx, qv, k=1, rerank=0)
