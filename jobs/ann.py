@@ -20,6 +20,14 @@
     spark-submit --py-files engine.zip jobs/ann.py append \
         --input /data/new_batch --index /tmp/ivf
 
+    # SQ8 compressed-scan path: quantize once, query against the
+    # 4x-smaller code table with exact rerank (see build_sq8_index)
+    spark-submit --py-files engine.zip jobs/ann.py sq8-build \
+        --input /root/testdata/sf0.1 --index /tmp/sq8
+    spark-submit --py-files engine.zip jobs/ann.py sq8-query \
+        --input /root/testdata/sf0.1 --index /tmp/sq8 \
+        --query-id 0 --topk 10 --rerank 4
+
     # refit trigger: cell-balance health of an append-grown index;
     # with --rebuild, refit in place from the current corpus when the
     # max/median cell-size ratio exceeds the bound
@@ -89,6 +97,23 @@ def main() -> None:
     c.add_argument("--k", type=int, default=16)
     c.add_argument("--iters", type=int, default=3)
     c.add_argument("--master", default=None)
+
+    sb = sub.add_parser("sq8-build")
+    sb.add_argument(
+        "--input", required=True, help="dir with embeddings.parquet"
+    )
+    sb.add_argument("--index", required=True)
+    sb.add_argument("--master", default=None)
+
+    sq = sub.add_parser("sq8-query")
+    sq.add_argument("--index", required=True)
+    sq.add_argument(
+        "--input", required=True, help="dir with embeddings.parquet"
+    )
+    sq.add_argument("--query-id", type=int, default=0)
+    sq.add_argument("--topk", type=int, default=10)
+    sq.add_argument("--rerank", type=int, default=4)
+    sq.add_argument("--master", default=None)
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
@@ -192,6 +217,55 @@ def main() -> None:
                 {
                     "cmd": "append",
                     "appended": n,
+                    "sec": round(time.time() - t0, 3),
+                }
+            )
+        )
+    elif args.cmd == "sq8-build":
+        from pdftableextractor_spark.operators.similarity import (
+            build_sq8_index,
+        )
+
+        build_sq8_index(emb, args.index)
+        n = read_path(spark, f"{args.index}/codes").count()
+        print(
+            json.dumps(
+                {
+                    "cmd": "sq8-build",
+                    "codes": n,
+                    "sec": round(time.time() - t0, 3),
+                }
+            )
+        )
+    elif args.cmd == "sq8-query":
+        from pdftableextractor_spark.operators.similarity import (
+            sq8_topk_indexed,
+        )
+
+        qrows = emb.filter(F.col("vec_id") == args.query_id).collect()
+        if not qrows:
+            raise SystemExit(
+                f"query id {args.query_id} not found in "
+                f"{args.input}/embeddings.parquet"
+            )
+        hits = sq8_topk_indexed(
+            spark,
+            args.index,
+            qrows[0]["embedding"],
+            k=args.topk,
+            rerank=args.rerank,
+        ).collect()
+        print(
+            json.dumps(
+                {
+                    "cmd": "sq8-query",
+                    "query_id": args.query_id,
+                    "topk": args.topk,
+                    "rerank": args.rerank,
+                    "hits": [
+                        {"vec_id": r["vec_id"], "cos": r["cos"]}
+                        for r in hits
+                    ],
                     "sec": round(time.time() - t0, 3),
                 }
             )

@@ -1474,3 +1474,48 @@ def test_sq8_index_validates(spark, tmp_path):
         sq8_topk_indexed(spark, idx, qv, k=0)
     with pytest.raises(ValueError, match="rerank"):
         sq8_topk_indexed(spark, idx, qv, k=1, rerank=0)
+
+
+def test_ann_job_sq8_build_and_query_end_to_end(tmp_path):
+    """jobs/ann.py sq8-build then sq8-query: the spark-submit surface of
+    the compressed-scan path; the query's top hit is the query vector
+    itself at cos 1.0 and both invocations print one valid JSON line."""
+    idx = str(tmp_path / "sq8_job")
+    env = {**os.environ, "PYTHONPATH": REPO}
+
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "ann.py"),
+            "sq8-build",
+            "--input", "/root/testdata/sf0.001",
+            "--index", idx,
+            "--master", "local[4]",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(
+        [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert rep["cmd"] == "sq8-build" and rep["codes"] > 0
+
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "ann.py"),
+            "sq8-query",
+            "--input", "/root/testdata/sf0.001",
+            "--index", idx,
+            "--query-id", "0",
+            "--topk", "5",
+            "--rerank", "3",
+            "--master", "local[4]",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(
+        [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert rep["cmd"] == "sq8-query"
+    assert len(rep["hits"]) == 5
+    assert rep["hits"][0] == {"vec_id": 0, "cos": 1.0}
