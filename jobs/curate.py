@@ -51,6 +51,14 @@ One pass over documents(doc_id, text, ...):
                           --mix 'src=frac,...' targets, or temperature-
                           alpha mixing with --temp-mix 'alpha:budget_frac'
                           (p_s ~ n_s^alpha; skipped when both unset)
+  8c. dsir select        (--dsir-target DIR) DSIR importance
+                          resampling (Xie et al. 2023): train the
+                          hashed-gram target-vs-raw LLR model on the
+                          corpus plus the target docs, keep the
+                          --dsir-k corpus docs drawn Gumbel-top-k with
+                          probability ~ exp(weight/--dsir-temperature);
+                          the target docs only shape the model, never
+                          compete for selection (skipped when unset)
   9. annotate + shard     token counts + fingerprint (+ n_dup_spans, the
                           count of cross-document repeated --dup-span-n-gram
                           windows, when that flag is set), then token-budget
@@ -187,6 +195,18 @@ def main() -> None:
     p.add_argument(
         "--shard-by-bpe", action="store_true",
         help="pack shards by learned BPE tokens (requires --tokenize)",
+    )
+    p.add_argument(
+        "--dsir-target", default=None, metavar="DIR",
+        help="dir with documents.parquet of TARGET-distribution docs: "
+        "run DSIR importance resampling (stage 8c) keeping the "
+        "--dsir-k corpus docs most target-like by hashed-gram LLR",
+    )
+    p.add_argument("--dsir-k", type=int, default=1000)
+    p.add_argument(
+        "--dsir-temperature", type=float, default=1.0,
+        help="Gumbel-top-k temperature: >1 flattens, <1 sharpens the "
+        "exp-weighted selection",
     )
     p.add_argument("--master", default=None)
     args = p.parse_args()
@@ -426,6 +446,35 @@ def main() -> None:
         ).localCheckpoint()
         n6t = scrubbed.count()
 
+    n6d = None
+    if args.dsir_target:
+        from pdftableextractor_spark.operators.sampling import dsir_resample
+
+        tgt = read_path(
+            spark, f"{args.dsir_target}/documents.parquet"
+        ).select(
+            # prefix keeps target ids from colliding with corpus ids in
+            # the union the weight model trains on
+            F.concat(F.lit("dsir-tgt:"), F.col("doc_id").cast("string"))
+            .alias("doc_id"),
+            "text",
+            F.lit(True).alias("__dsir_t"),
+        )
+        un = scrubbed.select(
+            "doc_id", "text", F.lit(False).alias("__dsir_t")
+        ).unionByName(tgt)
+        kept_ids = dsir_resample(
+            un,
+            F.col("__dsir_t"),
+            k=args.dsir_k,
+            temperature=args.dsir_temperature,
+            select=~F.col("__dsir_t"),
+        ).select("doc_id")
+        scrubbed = scrubbed.join(
+            kept_ids, "doc_id", "left_semi"
+        ).localCheckpoint()
+        n6d = scrubbed.count()
+
     annotated = (
         scrubbed.join(token_count(scrubbed.select("doc_id", "text")), "doc_id")
         .join(
@@ -503,6 +552,8 @@ def main() -> None:
         summary["after_mix"] = n6
     if n6t is not None:
         summary["after_temp_mix"] = n6t
+    if n6d is not None:
+        summary["after_dsir_select"] = n6d
     print(json.dumps(summary))
     spark.stop()
 

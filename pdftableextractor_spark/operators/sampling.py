@@ -427,6 +427,7 @@ def dsir_resample(
     n_buckets: int = 8192,
     id_col: str = "doc_id",
     seed: int = 7,
+    select=None,
 ) -> DataFrame:
     """The resampling step of DSIR: draw ``k`` docs without replacement
     with probability proportional to exp(dsir_weight / temperature) —
@@ -449,6 +450,12 @@ def dsir_resample(
     the global top-k as TakeOrderedAndProject (per-partition size-k
     heaps merged on the driver), never a single-task window. Ties break
     on id for determinism; reproducible across runs and partitionings.
+
+    ``select`` (optional boolean Column) restricts which rows are
+    ELIGIBLE for selection while every row still trains the weight
+    model — the paper's setup, where the target corpus defines the
+    distribution but only raw docs are candidates (without it, target
+    rows would out-score every candidate and win their own contest).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -457,6 +464,8 @@ def dsir_resample(
     w = dsir_weights(
         docs, target, text_col=text_col, n_buckets=n_buckets, id_col=id_col
     )
+    if select is not None:
+        docs = docs.filter(select)
     h = F.conv(
         F.substring(
             F.md5(

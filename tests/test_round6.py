@@ -1519,3 +1519,59 @@ def test_ann_job_sq8_build_and_query_end_to_end(tmp_path):
     assert rep["cmd"] == "sq8-query"
     assert len(rep["hits"]) == 5
     assert rep["hits"][0] == {"vec_id": 0, "cos": 1.0}
+
+
+def test_curate_funnel_dsir_select_end_to_end(tmp_path):
+    """Stage 8c: --dsir-target trains the hashed-gram LLR model on
+    corpus + target and keeps the --dsir-k most target-like CORPUS
+    docs. Two disjoint vocabularies (the testdata corpus can't
+    discriminate — its langs share one word pool, so this test builds
+    its own): an alpha-vocab target over a half-alpha half-numeric
+    corpus must select ONLY alpha-vocab docs, and target docs must
+    never appear in the output."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    corpus_dir = tmp_path / "corpus"
+    target_dir = tmp_path / "target"
+    corpus_dir.mkdir()
+    target_dir.mkdir()
+    rows = []
+    for i in range(30):
+        rows.append((i, f"alpha beta gamma delta epsilon zeta ua{i:03d}",
+                     "en", "A", 40))
+        rows.append((100 + i, f"one two three four five six ub{i:03d}",
+                     "en", "B", 40))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(corpus_dir / "documents.parquet")
+    pd.DataFrame(
+        [(1000 + i, f"alpha beta gamma delta epsilon ut{i:03d}")
+         for i in range(20)],
+        columns=["doc_id", "text"],
+    ).to_parquet(target_dir / "documents.parquet")
+
+    out = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    res = subprocess.run(
+        [sys.executable, "/root/repo/jobs/curate.py",
+         "--input", str(corpus_dir), "--output", out,
+         "--dsir-target", str(target_dir), "--dsir-k", "10",
+         "--dsir-temperature", "0.25",
+         "--min-quality", "0", "--max-rep", "1",
+         "--near-dup-threshold", "1.0",
+         "--master", "local[4]"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["after_dsir_select"] == 10
+
+    got = pq.read_table(f"{out}/clean").to_pylist()
+    assert len(got) == 10
+    # target rows never compete for selection
+    assert not any(str(r["doc_id"]).startswith("dsir-tgt:") for r in got)
+    # at T=0.25 the vocab gap is tens of nats: only alpha-vocab survives
+    assert all(r["source"] == "A" for r in got), [
+        (r["doc_id"], r["source"]) for r in got
+    ]
