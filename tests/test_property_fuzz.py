@@ -272,9 +272,17 @@ def test_sampling_ops_fuzz(spark, rows, frac_pct, buckets):
             if seen * 100 > n * frac_pct:
                 thr = score
                 break
-        exp = {d for v, d in vals if thr is not None and v >= thr}
+        # absence-of-evidence convention (see drop_bottom_percentile's
+        # docstring): no threshold row — only possible at frac >= 1.0,
+        # where the strict rank inequality admits none — means the
+        # stratum passes UN-GATED, it does not vanish
+        if thr is None:
+            exp = {d for _, d in vals}
+        else:
+            exp = {d for v, d in vals if v >= thr}
         assert per_out[s] == exp, f"stratum {s}: {per_out[s]} != {exp}"
-        assert len(exp) >= n - cut  # ties at the threshold only ADD rows
+        if thr is not None:
+            assert len(exp) >= n - cut  # threshold ties only ADD rows
 
     from pyspark.sql import functions as F
 
