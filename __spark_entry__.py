@@ -398,8 +398,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     def q13(s, d):
-        li = _t(s, d, "lineitem").filter(
-            F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp_ntz")
+        from pdftableextractor_spark.plans.skew import (
+            spread_underparallel_scan,
+        )
+
+        # the testdata lineitem is one fat row group → the decimal partial
+        # aggregation (the expensive part) would run on ONE scan task; the
+        # guard repartitions only when the scan under-parallelizes (no-op
+        # on a many-split table) — round-7, measured 1.53 → 0.91 s. Filter
+        # first (pushdown reaches the scan untouched) and salt on a column
+        # the query already reads, so pruning stays at the 7 needed columns
+        li = spread_underparallel_scan(
+            _t(s, d, "lineitem").filter(
+                F.col("l_shipdate")
+                <= F.lit("2024-09-01").cast("timestamp_ntz")
+            ),
+            "l_shipdate",
         )
         dec = lambda c: F.col(c).cast("decimal(20,6)")
         disc_price = (

@@ -40,6 +40,17 @@ NUM_HASHES = 64
 BAND_ROWS = 4  # 16 bands x 4 rows
 SIMHASH_BITS = 60  # 15 hex chars of md5 → avoids sign issues in bigint
 
+# pair-space salt for the quadratic BLOCK-pair join (ngram_jaccard_pairs):
+# one side keyed by pmod(xxhash64(id), salt), the other replicated over the
+# range — each unordered pair meets exactly once, and a hot block's
+# |block|² blow-up spreads over ``salt`` tasks instead of the ~1
+# post-shuffle partition AQE's byte-based coalescing would plan (round-7;
+# the salt is deterministic, so task retries are exact). Measured a WIN
+# only where the join carries per-row arrays and the pair compute
+# dominates; the slim band-bucket joins LOSE from it (see the notes in
+# minhash_near_dups / minhash_near_dups_incremental).
+_PAIR_SALT = 8
+
 # universal-hash family for MinHash: sig_i = min((a_i*h + b_i) mod P) over
 # shingle hashes h (h < P). P = 2^31-1 keeps a_i*h inside int64. The a/b
 # constants derive from md5(i) so Spark and the DuckDB oracle share them.
@@ -190,8 +201,18 @@ def minhash_near_dups(
     """MinHash-LSH near-duplicate pairs: band-bucket join → exact Jaccard
     verify → (doc_a, doc_b, jaccard). Only band-collision candidates are
     verified; the band join is the lone shuffle."""
-    sigs = minhash_signatures(docs, text_col, n, num_hashes)
+    # the band self-join references the signature lineage on BOTH sides and
+    # the verify references the candidate lineage three more times — the
+    # corpus signature pass would otherwise run twice (round-7; sigs are
+    # num_hashes ints per doc, the cheapest thing in the pipeline to hold)
+    sigs = minhash_signatures(docs, text_col, n, num_hashes).localCheckpoint(
+        eager=True
+    )
     bands = band_rows_from_sigs(sigs, num_hashes, band_rows)
+    # NOTE(round-7): a salted band join (the ngram_jaccard_pairs fix) was
+    # measured here and REVERTED — unlike the block-pair join, band rows
+    # are slim and the verify dominates, so the salt's extra exchange +
+    # probe-side replication lost 50% (interleaved A/B 2.35 vs 3.6 s)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
     )
@@ -266,7 +287,12 @@ def verify_jaccard_pairs(
     shingle-set aggregation is semi-join pruned to band-collision
     participants, never the whole corpus."""
     # one explode, not a two-sided union: a union would duplicate the whole
-    # candidate lineage (band join included) once per side
+    # candidate lineage (band join included) once per side. The candidate
+    # frame is still referenced three times (ids + both pair joins) and the
+    # shingle-set frame twice — localCheckpoint both so the band join and
+    # the candidate-bounded shingle aggregation run once, not 3×/2×
+    # (round-7; both frames are candidate-bounded, never corpus-sized)
+    cand = cand.localCheckpoint(eager=True)
     ids = (
         cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()
@@ -276,6 +302,7 @@ def verify_jaccard_pairs(
         .join(ids, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("shingles"))
+        .localCheckpoint(eager=True)
     )
     pairs = cand.join(
         sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
@@ -513,24 +540,43 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 1,
     threshold: float = 0.5,
+    salt: int = _PAIR_SALT,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard within a blocking key (the baseline the
-    sketches approximate). Quadratic only within blocks."""
+    sketches approximate). Quadratic only within blocks.
+
+    Parallelism note (round-7): the quadratic blow-up happens INSIDE the
+    join — its shuffle inputs are one slim row per doc, so AQE's byte-based
+    coalescing packs whole blocks into one or two post-shuffle partitions
+    and the |block|² intersect work runs nearly serial (measured 8.6 s vs
+    1.1 s at sf0.1 on local[32]). Two structural fixes, both result-exact:
+      * deterministic pair-space salting — side A keyed by
+        pmod(xxhash64(doc_id), salt), side B replicated over the salt range
+        (each unordered pair meets exactly once), so a block's pair work
+        spreads over ``salt`` tasks;
+      * an explicit ``repartition(shuffle.partitions, block, __s)`` on side
+        A — AQE never coalesces a user-specified repartition, so task count
+        follows the session's shuffle-partition sizing (scale-adaptive:
+        4×cores locally, the job conf on a cluster) instead of the byte
+        estimate that is wrong by the quadratic factor."""
+    npart = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sh = docs.select(
         F.col("doc_id"),
         F.col(block_col).alias("block"),
         shingles_col(F.col(text_col), n).alias("sh"),
     ).filter(F.size("sh") > 0)
     a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "block"
-    )
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "block",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt)).alias("__s"),
+    ).repartition(npart, "block", "__s")
     b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "block"
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "block",
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__s"),
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        a.join(b, "block")
+        a.join(b, ["block", "__s"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
@@ -766,7 +812,14 @@ def connected_components(
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        out = [(x, _find(x)) for x in parent]
+        import pandas as pd
+
+        # Arrow-path createDataFrame (a pandas frame, not a tuple list):
+        # the tuple list re-pickles per action through py4j; the Arrow path
+        # ships one batch (round-7, measured on the q52 join-back)
+        out = pd.DataFrame(
+            {"node": list(parent), "component": [_find(x) for x in parent]}
+        )
         return pairs.sparkSession.createDataFrame(
             out, "node string, component string"
         )
@@ -844,11 +897,16 @@ def minhash_near_dups_incremental(
     if old_sigs is None:
         old_sigs = minhash_signatures(old_docs, text_col, n, num_hashes)
     # callers that also persist the batch's signatures pass them in
-    # (pre-materialized) so the batch is tokenized+signatured exactly once
+    # (pre-materialized) so the batch is tokenized+signatured exactly once;
+    # when computed here, checkpoint them — bands_all AND bands_new both
+    # reference this lineage, so the batch signature pass would run twice
+    # (round-7; O(new batch) rows of num_hashes ints)
     sigs_new = (
         new_sigs
         if new_sigs is not None
-        else minhash_signatures(new_docs, text_col, n, num_hashes)
+        else minhash_signatures(
+            new_docs, text_col, n, num_hashes
+        ).localCheckpoint(eager=True)
     )
     # a doc_id re-sent in the batch REPLACES its standing entry: without
     # this anti-join the union corpus would merge the old and new shingle
@@ -862,6 +920,8 @@ def minhash_near_dups_incremental(
         old_sigs.unionByName(sigs_new), num_hashes, band_rows
     )
     bands_new = band_rows_from_sigs(sigs_new, num_hashes, band_rows)
+    # NOTE(round-7): band-join salting measured and REVERTED here too —
+    # interleaved A/B 6.76 vs 8.68 s (see the minhash_near_dups note)
     cand = (
         bands_all.select(F.col("doc_id").alias("da"), "band_idx", "band_hash")
         .join(
@@ -942,6 +1002,9 @@ def duplicate_ngram_spans(
             "__tk"
         ),
     )
+    # NOTE(round-7): a localCheckpoint here (census + join-back both read
+    # the gram frame) measured NEUTRAL at sf0.1 (A/B 1.25 vs 1.26 s) and
+    # the gram frame is BIGGER than the corpus — rejected
     grams = _ngram_span_frame(base, n).withColumn(
         "__gh", F.md5(F.col("gram"))
     )
@@ -1028,7 +1091,12 @@ def containment_pairs(
         # fleets swap in persist() + explicit unpersist at the call site.
         .localCheckpoint(eager=True)
     )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # sz is read three times (prefix bound, both size attaches) — one row
+    # per doc, so the checkpoint is free and saves two aggregations over
+    # the shingle frame (round-7)
+    sz = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    ).localCheckpoint(eager=True)
     dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     # integer ceil(t*|A|) = (t_micro*sz + 999_999) div 1e6 — conservative
@@ -1145,6 +1213,9 @@ def mask_duplicate_spans(
     # masking never rewrites untouched text's casing or the uppercase PII
     # tags). lower() can never add/remove whitespace, so the two arrays
     # are position-aligned by construction.
+    # NOTE(round-7): localCheckpoints here (``both`` is read 3×, the span
+    # frame 2×) measured NEUTRAL at sf0.1 (interleaved A/B 2.30 vs 2.26 s)
+    # and both frames are corpus-sized-or-bigger — rejected
     both = docs.select(
         "doc_id",
         F.filter(tokenize_col(F.col(text_col)), lambda x: x != "").alias(

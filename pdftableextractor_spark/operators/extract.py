@@ -447,9 +447,23 @@ def extract_frames(documents: DataFrame) -> dict[str, DataFrame]:
              `enumerate(document_text)` index at textract_processor.py:118),
              so line_no matches the reference's footnote `line_number` even
              though those lines never reach the filtered `lines` frame.
+
+    Materialization (round-7): consumers reference the frames SIX times in
+    one plan (cells, kvs, lines ×3, footnotes) and exchange reuse never
+    fires across the differently-pruned subtrees — the unified-points plan
+    ran the scan+explode 7× and the pdf layout kernel 7× (36 parquet scans,
+    plans/r07/unified_points_before.txt). The exploded spans and the raw
+    kernel output are localCheckpointed here (the containment_pairs
+    pattern: blocks released by the ContextCleaner, not pinned; see the
+    FAULT-TOLERANCE TRADE note there), so extraction runs once per call no
+    matter how many frames the consumer wires together. ``stage_frames``
+    remains the cross-job parquet variant.
     """
-    s = explode_spans(documents)
-    return _frames_from(s, _pdf_expanded(s.filter(F.col("kind") == "pdf")))
+    s = explode_spans(documents).localCheckpoint(eager=True)
+    pdf_raw = _pdf_expanded(
+        s.filter(F.col("kind") == "pdf")
+    ).localCheckpoint(eager=True)
+    return _frames_from(s, pdf_raw)
 
 
 def _frames_from(s: DataFrame, pdf_raw: DataFrame) -> dict[str, DataFrame]:

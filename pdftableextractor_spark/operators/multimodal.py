@@ -1626,6 +1626,11 @@ def binary_near_dups(
             assets, avg_bits=avg_bits, min_size=min_size, max_size=max_size
         )
         .distinct()
+        # the df census AND the capped join both reference this lineage —
+        # without the checkpoint the chunk kernel re-chunks every payload
+        # twice (round-7; the signature table is ~0.5% of corpus bytes at
+        # the production avg_bits, the cheapest frame here to hold)
+        .localCheckpoint(eager=True)
     )
     dfreq = sigs.groupBy("chash").agg(
         F.count(F.lit(1)).alias("__df")

@@ -330,10 +330,17 @@ def dsir_weights(
     the score join is gram ⨝ broadcast(B-row model) followed by one
     groupBy(doc). Nothing quadratic, one corpus-wide shuffle per
     aggregation, and the model never grows with the corpus — that is the
-    point of hashed features. The gram lineage is consumed by both the
-    model branch and the score branch (2 scans); like the extraction
-    frames, the relational branches are codegen-fast and a materialization
-    round-trip costs more than the recompute.
+    point of hashed features.
+
+    Materialization (round-7): the gram lineage (tokenize + bigram zip +
+    explode + md5 per gram — the expensive scan) is referenced THREE times
+    in one call (totals, the scored-model broadcast build, and the score
+    join) and exchange reuse never fires across them; the B-row model is
+    referenced twice more. Both are localCheckpointed (the
+    containment_pairs pattern — blocks released by the ContextCleaner):
+    grams cost ~12 bytes/gram of executor spill-to-disk storage versus
+    re-running the md5 scan of the whole corpus twice; the model is 8192
+    rows.
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
@@ -369,11 +376,14 @@ def dsir_weights(
                 F.lit(n_buckets),
             ).alias("bucket"),
         )
+        # executor-loss caveat: see the FAULT-TOLERANCE TRADE note on
+        # dedup.containment_pairs (shared by every localCheckpoint here)
+        .localCheckpoint(eager=True)
     )
     model = grams.groupBy("bucket").agg(
         F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("tc"),
         F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("rc"),
-    )
+    ).localCheckpoint(eager=True)
     totals = model.agg(
         F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
     )

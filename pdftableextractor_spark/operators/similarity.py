@@ -992,6 +992,14 @@ def build_sq8_index(
     from pdftableextractor_spark.sources.tables import write_table
 
     spark = embeddings.sparkSession
+    # ONE materialization for the four passes (scale fit, fingerprint,
+    # vectors write, codes write) — round-7, ADVICE: a nondeterministic
+    # input lineage could otherwise persist codes inconsistent with
+    # vectors/scale under one build_id, which the torn-rebuild stamps
+    # cannot detect (the append_to_ivf_index precedent). Also saves three
+    # lineage recomputes. Executor-loss caveat: see the FAULT-TOLERANCE
+    # TRADE note on dedup.containment_pairs.
+    embeddings = embeddings.localCheckpoint(eager=True)
     scale = sq8_scale(embeddings)
     fp = embeddings.agg(
         F.count(F.lit(1)).alias("n"),

@@ -164,12 +164,16 @@ def _encode_kernel(merges: list[tuple[str, str]], text_col: str):
                 if text is None:
                     text = ""
                 out: list[str] = []
-                if len(cache) > cache_cap:
-                    cache.clear()
                 for w in tok_re.findall(text.replace(EOW, " ")):
                     enc = cache.get(w)
                     if enc is None:
                         enc = encode_word(w, merges)
+                        # cap checked per INSERT (round-7, ADVICE): a
+                        # single pathological document with more than
+                        # cache_cap distinct word types must not grow the
+                        # cache unbounded for its duration
+                        if len(cache) >= cache_cap:
+                            cache.clear()
                         cache[w] = enc
                     out.extend(enc)
                 ids.append(did)

@@ -29,3 +29,22 @@ def salted_repartition(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
     return df.repartition(num_partitions, *cols)
+
+
+def spread_underparallel_scan(df: DataFrame, *cols: str) -> DataFrame:
+    """Input-skew guard for HEAVY per-row work over an unsplittable input
+    (guide case: one fat gzip/single-row-group file plans fewer scan tasks
+    than the cluster has cores, so everything before the first exchange
+    runs nearly serial). When the frame plans fewer partitions than
+    ``defaultParallelism``, hash-repartition it on ``cols`` to
+    spark.sql.shuffle.partitions; otherwise NO-OP — a well-laid-out input
+    (the 100 TB case: thousands of splits) never pays the extra shuffle.
+
+    Use ONLY where the map-side work after the scan is expensive enough to
+    beat the shuffle of the input rows (measured: decimal aggregation wins
+    40%; cheap codegen scans LOSE — the shuffle costs more than the serial
+    scan). The deterministic key set keeps retries exact (never rand())."""
+    spark = df.sparkSession
+    if df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism:
+        return df
+    return salted_repartition(df, *cols)
