@@ -731,24 +731,36 @@ def connected_components(
     covers every node that appears in at least one pair; singletons are the
     caller's coalesce (see q52).
 
-    Adaptive cutoff: when the deduped edge list has <= ``small_graph_
-    threshold`` edges (known from the convergence signature already taken —
-    no extra job), the components are solved with a driver-side union-find
-    instead of O(log n) distributed rounds — identical min-label output,
-    bounded driver memory (1M edges x 2 ids ~ 100 MB even with long ids —
-    a DRIVER bound independent of corpus size), and an order of magnitude
-    less scheduler overhead.
+    Adaptive cutoff: when the RAW edge list has <= ``small_graph_
+    threshold`` edges (one count over the checkpointed edges; raw >= the
+    deduped count, so the check only ever errs toward the distributed
+    path), the components are solved with a driver-side union-find
+    instead of O(log n) distributed rounds — identical min-label output
+    (union-find is insensitive to duplicate edges, and the callers' pair
+    generators emit each unordered pair once anyway), bounded driver
+    memory (1M edges x 2 ids ~ 100 MB even with long ids — a DRIVER
+    bound independent of corpus size), an order of magnitude less
+    scheduler overhead, and NO distinct shuffle or signature aggregate on
+    this path (round-7). The distributed path dedups and takes the
+    convergence signature exactly as before.
     Near-dup graphs are SPARSE by construction (band-collision pairs), so
     even large corpora often land under the cutoff; pass
     ``small_graph_threshold=0`` to force the distributed path.
     """
-    e = (
+    # RAW edges first (round-7): the callers' pair generators already emit
+    # each unordered pair once (doc_a < doc_b), so the defensive distinct
+    # is a pure extra shuffle on the small-graph path — the driver
+    # union-find is insensitive to duplicate edges. The cutoff check runs
+    # on the RAW count (>= the deduped count, so the driver-memory bound
+    # still holds and the decision only ever errs toward the distributed
+    # path); the distributed path dedups below as before, where the
+    # convergence signature needs set semantics.
+    e_raw = (
         pairs.select(
             F.col(a_col).cast("string").alias("u"),
             F.col(b_col).cast("string").alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
         .localCheckpoint()
     )
 
@@ -795,8 +807,7 @@ def connected_components(
             .distinct()
         )
 
-    sig = _signature(e)
-    if sig[0] <= small_graph_threshold:
+    if e_raw.count() <= small_graph_threshold:
         parent: dict[str, str] = {}
 
         def _find(x: str) -> str:
@@ -806,7 +817,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        pdf = e.toPandas()  # Arrow batch collect — far cheaper than py4j rows
+        pdf = e_raw.toPandas()  # Arrow collect — far cheaper than py4j rows
         for u_, v_ in zip(pdf["u"].values, pdf["v"].values):
             ra, rb = _find(u_), _find(v_)
             if ra != rb:
@@ -823,6 +834,8 @@ def connected_components(
         return pairs.sparkSession.createDataFrame(
             out, "node string, component string"
         )
+    e = e_raw.distinct().localCheckpoint()
+    sig = _signature(e)
     for _ in range(max_rounds):
         e = _small_star(_large_star(e)).localCheckpoint()
         new_sig = _signature(e)
@@ -1125,21 +1138,35 @@ def containment_pairs(
         )
         .distinct()
     )
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # exact |A∩B| per candidate pair via ONE array_intersect instead of the
+    # old (pair × shingle-of-A) explode join + (doc_b, s) equi-join +
+    # count: the exploded intermediate was strictly more rows and two more
+    # shuffles than attaching each side's shingle ARRAY once (round-7,
+    # interleaved A/B 6.54 → 3.38 s at sf0.1, results bit-identical). The
+    # per-doc array carries the same bound as verify_jaccard_pairs'
+    # collect_set frame: a document's distinct-shingle set must fit in one
+    # row — true wherever the verify path was already viable.
+    arr = sh.groupBy("doc_id").agg(
+        F.collect_list("s").alias("arr")
+    ).join(sz, "doc_id").localCheckpoint(eager=True)
     out = (
-        inter.join(
-            sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")),
+        cand.join(
+            arr.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("arr").alias("arr_a"),
+                F.col("sz").alias("size_a"),
+            ),
             "doc_a",
         )
         .join(
-            sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")),
+            arr.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("arr").alias("arr_b"),
+                F.col("sz").alias("size_b"),
+            ),
             "doc_b",
         )
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
         .filter(
             F.col("inter") * F.lit(1_000_000)
             >= F.lit(t_micro) * F.least("size_a", "size_b")
