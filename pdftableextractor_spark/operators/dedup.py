@@ -148,7 +148,22 @@ def minhash_signatures(
     array higher-order functions (HOF lambdas are interpreted, measured ~20x
     slower). Map-side partial aggregation reduces the shuffle to
     ``num_hashes`` values per doc per input partition, so this scales to
-    arbitrarily large documents."""
+    arbitrarily large documents.
+
+    Input-skew guard (round-7, guide §2.5): with the gram scan fully
+    map-side, a single-row-group input runs the whole tokenize+md5+min-agg
+    pass in ONE task. For n >= 2 the per-doc gram work is heavy enough
+    that spreading the (slim) doc rows first wins — interleaved A/B at
+    sf0.1: n=3/64 hashes 2.65 -> 1.92 s; the n=1 paths LOSE (n=1/16
+    hashes 7.7 -> 10.5 s on q55's incremental cadence) and stay unspread.
+    No-op whenever the scan already plans >= defaultParallelism tasks,
+    i.e. always at 100 TB."""
+    if n >= 2:
+        from pdftableextractor_spark.plans.skew import (
+            spread_underparallel_scan,
+        )
+
+        docs = spread_underparallel_scan(docs, "doc_id")
     grams = exploded_shingles(docs, text_col, n)
     h0 = grams.select(
         "doc_id", (word_hash_col(F.col("s")) % MINHASH_P).alias("h0")
@@ -169,25 +184,32 @@ def minhash_signatures(
 
 def exploded_shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     """(doc_id, s) — one row per n-gram occurrence (dups kept; min-hash over
-    a multiset equals min-hash over the set). Built from posexplode + lead
-    windows so everything stays in codegen — constructing gram arrays with
+    a multiset equals min-hash over the set). Built from n shifted array
+    slices zipped and exploded once (the ``_ngram_span_frame`` shape):
+    everything stays in codegen — constructing gram arrays with
     higher-order-function lambdas is interpreted and was the measured
-    bottleneck of the signature scan."""
+    bottleneck of the signature scan — and, unlike the posexplode + lead
+    window this replaces (round-7), it needs NO exchange: the former window
+    shuffled one row per TOKEN corpus-wide before any gram existed, the
+    single biggest shuffle in every n>=2 signature/verify plan."""
     toks = docs.select(
         "doc_id",
-        F.posexplode(tokenize_col(F.col(text_col))).alias("pos", "w"),
-    ).filter(F.col("w") != "")
+        F.array_remove(tokenize_col(F.col(text_col)), "").alias("__tk"),
+    )
     if n == 1:
-        return toks.select("doc_id", F.col("w").alias("s"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = toks.select(
+        return toks.select("doc_id", F.explode("__tk").alias("s"))
+    m = F.greatest(F.size("__tk") - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("__tk"), i + 1, m) for i in range(n)]
+    )
+    return toks.select(
+        "doc_id", F.explode(zipped).alias("__gs")
+    ).select(
         "doc_id",
         F.concat_ws(
-            " ", F.col("w"), *[F.lead("w", j).over(w) for j in range(1, n)]
+            " ", *[F.col("__gs").getField(str(i)) for i in range(n)]
         ).alias("s"),
-        F.lead("w", n - 1).over(w).alias("last_tok"),
     )
-    return leads.filter(F.col("last_tok").isNotNull()).select("doc_id", "s")
 
 
 def minhash_near_dups(
@@ -328,7 +350,15 @@ def simhash_signatures(
 ) -> DataFrame:
     """60-bit SimHash: per-token 60-bit hash; each bit votes ±1 weighted by
     term frequency; sign of the vote sets the output bit. Explode + groupBy
-    keeps everything in codegen; one shuffle on doc_id."""
+    keeps everything in codegen; one shuffle on doc_id.
+
+    Input-skew guard (round-7): the 60 per-token vote aggregations are
+    heavy map work, so a single-row-group input (one scan task) serializes
+    them — spread the doc rows first (interleaved A/B at sf0.1:
+    1.26 -> 0.95 s; no-op when the scan is already parallel)."""
+    from pdftableextractor_spark.plans.skew import spread_underparallel_scan
+
+    docs = spread_underparallel_scan(docs, "doc_id")
     toks = docs.select(
         "doc_id", F.explode(tokenize_col(F.col(text_col))).alias("w")
     ).filter(F.col("w") != "")
