@@ -387,7 +387,10 @@ def simhash_near_dups(
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Blocking on the
     top ``block_bits`` bits bounds the join (at 100 TB the block prefix is
     the shuffle key; rotate prefixes for full recall — here one rotation)."""
-    sigs = simhash_signatures(docs, text_col)
+    # both sides of the block self-join read the signature lineage (the
+    # tokenize + 60-vote scan); checkpoint the slim sig rows so it runs
+    # once (round-7 — the minhash_near_dups pattern)
+    sigs = simhash_signatures(docs, text_col).localCheckpoint(eager=True)
     blocked = sigs.withColumn(
         "block", F.shiftright(F.col("simhash"), SIMHASH_BITS - block_bits)
     )
@@ -480,6 +483,13 @@ def hamming_near_dup_pairs(
         raise ValueError(f"n_bands={n_bands} must divide bits={bits}")
     band_bits = bits // n_bands
     cols = [id_col, hash_col] + ([real_col] if real_col else [])
+    # the band self-join references the signature lineage on BOTH sides and
+    # exchange reuse never fires across them — for the perceptual callers
+    # that lineage DECODES every media payload in an Arrow kernel, the
+    # dominant cost, so it must run once. The checkpointed frame is slim:
+    # one (id, bigint hash[, bool]) row per item (round-7; the
+    # containment_pairs FAULT-TOLERANCE TRADE note applies)
+    sigs = sigs.localCheckpoint(eager=True)
     bands = sigs.select(
         *cols,
         F.explode(

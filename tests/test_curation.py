@@ -1064,3 +1064,43 @@ def test_band_rows_rejects_sig_length_mismatch(spark):
     )
     with _pytest.raises(Exception, match="signature length mismatch"):
         band_rows_from_sigs(sigs, num_hashes=64, band_rows=4).collect()
+
+
+def test_exploded_shingles_matches_python_reference(spark):
+    """The round-7 zip-slice gram construction must emit exactly the gram
+    MULTISET of the straightforward Python shingle definition (lower, split
+    on whitespace, drop empty tokens, consecutive n-grams joined by one
+    space) — including the edge docs: empty text, whitespace-only, null,
+    and docs shorter than n."""
+    from collections import Counter
+
+    from pdftableextractor_spark.operators.dedup import exploded_shingles
+
+    rows = [
+        ("d0", "The quick  brown fox\tjumps"),
+        ("d1", ""),
+        ("d2", "   "),
+        ("d3", None),
+        ("d4", "one"),
+        ("d5", "two tokens"),
+        ("d6", "a a a a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def ref(text, n):
+        if text is None:
+            return []
+        toks = [t for t in text.lower().strip().split() if t]
+        return [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+
+    for n in (1, 2, 3, 5):
+        got = Counter(
+            (r["doc_id"], r["s"])
+            for r in exploded_shingles(docs, "text", n).collect()
+        )
+        want = Counter(
+            (doc_id, g) for doc_id, text in rows for g in ref(text, n)
+        )
+        assert got == want, f"n={n}: {got} != {want}"
