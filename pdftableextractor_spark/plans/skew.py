@@ -43,7 +43,12 @@ def spread_underparallel_scan(df: DataFrame, *cols: str) -> DataFrame:
     Use ONLY where the map-side work after the scan is expensive enough to
     beat the shuffle of the input rows (measured: decimal aggregation wins
     40%; cheap codegen scans LOSE — the shuffle costs more than the serial
-    scan). The deterministic key set keeps retries exact (never rand())."""
+    scan). The deterministic key set keeps retries exact (never rand()).
+
+    Call on SCAN-SHAPED frames only (scan + narrow projections/filters):
+    the partition probe goes through ``df.rdd``, and on a frame with
+    upstream shuffles that finalizes the AQE plan — executing its query
+    stages eagerly, outside the job that will consume them."""
     spark = df.sparkSession
     if df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism:
         return df
